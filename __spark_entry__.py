@@ -1,10 +1,8 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship KG build; ``queries()`` /
+``oracle_sql()`` expose each implemented operator (SURVEY.md §2) with its
+DuckDB oracle twin, compared by the driver at sf=0.01.
 """
 
 from __future__ import annotations
@@ -12,27 +10,115 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from geonames_rdf_spark import oracle, synth
+from geonames_rdf_spark.operators import build, consolidate, preshape
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full KG construction (features ∪ docs ∪ altnames ∪ AGS)."""
+    return build.build_kg(spark, "/root/testdata/sf0.001")
+
+
+# --- gazetteer pre-shaping stages (SURVEY.md §2.B) -------------------------
+
+def _q_best_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gaz = synth.register_gazetteer(spark, sf_dir)
+    alt = preshape.semi_join_alt_names(gaz["alt_names"], gaz["features_plus"])
+    return preshape.best_names(alt)
+
+
+def _q_country_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gaz = synth.register_gazetteer(spark, sf_dir)
+    return preshape.derive_country_codes(gaz["features"])
+
+
+def _q_admin_lookup3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gaz = synth.register_gazetteer(spark, sf_dir)
+    return preshape.derive_admin_lookup(gaz["features"], 3)
+
+
+def _q_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gaz = synth.register_gazetteer(spark, sf_dir)
+    cc = preshape.derive_country_codes(gaz["features"])
+    return preshape.filter_country_hierarchy(gaz["hierarchy_raw"], cc)
+
+
+def _q_ags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gaz = synth.register_gazetteer(spark, sf_dir)
+    return preshape.ags_lookup(gaz["features_plus"], gaz["ags_map"], country="C0")
+
+
+def _q_semi_join_alt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gaz = synth.register_gazetteer(spark, sf_dir)
+    return preshape.semi_join_alt_names(gaz["alt_names"], gaz["features_plus"])
+
+
+# --- triple-mapping stages (SURVEY.md §2.B12-B30) --------------------------
+
+def _q_kg_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return build.build_kg(spark, sf_dir)
+
+
+def _q_kg_unconsolidated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return build.build_kg(spark, sf_dir, consolidate=False)
+
+
+def _q_kg_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = build.build_kg(spark, sf_dir, consolidate=False, include_docs=False,
+                         include_alt=False, include_ags=False)
+    return consolidate.consolidate_triples(raw)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "gaz_best_names": _q_best_names,
+        "gaz_country_codes": _q_country_codes,
+        "gaz_admin_lookup3": _q_admin_lookup3,
+        "gaz_hierarchy_country": _q_hierarchy,
+        "gaz_ags_lookup": _q_ags,
+        "gaz_semi_join_alt": _q_semi_join_alt,
+        "kg_full": _q_kg_full,
+        "kg_unconsolidated": _q_kg_unconsolidated,
+        "kg_posthoc_consolidate": _q_kg_posthoc,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    p = oracle.kg_prefix()
+    return {
+        "gaz_best_names": (
+            p + "\nSELECT geonameid, bestNameCandidate FROM best"
+        ),
+        "gaz_country_codes": (
+            p + "\nSELECT countryId, countryCode, name FROM countries"
+        ),
+        "gaz_admin_lookup3": (
+            p + "\nSELECT country_code || '.' || admin1_code || '.' || admin2_code"
+                " || '.' || admin3_code AS code, name, asciiname,"
+                " geonameid AS geonameId FROM features"
+                " WHERE feature_class = 'A' AND feature_code = 'ADM3'"
+        ),
+        "gaz_hierarchy_country": (
+            p + "\nSELECT parentId, childId, type FROM hierarchy_raw"
+                " WHERE parentId IN (SELECT countryId FROM countries)"
+        ),
+        "gaz_ags_lookup": (
+            p + "\nSELECT geonameid, ags FROM (SELECT f.geonameid, COALESCE("
+                " CASE WHEN f.admin4_code <> '' AND f.admin4_code <> 'NONE' THEN f.admin4_code END,"
+                " CASE WHEN f.admin3_code <> '' AND f.admin3_code <> 'NONE' THEN f.admin3_code END,"
+                " CASE WHEN f.admin2_code <> '' AND f.admin2_code <> 'NONE' THEN f.admin2_code END,"
+                " CASE WHEN f.admin1_code <> '' AND f.admin1_code <> 'NONE' THEN m.ags END) AS ags"
+                " FROM features f LEFT JOIN ags_map m ON f.admin1_code = m.admin1_code"
+                " WHERE f.country_code = 'C0' AND f.feature_class = 'A'"
+                " AND regexp_matches(f.feature_code, 'ADM[1-4]'))"
+                " WHERE ags IS NOT NULL AND ags <> '' AND ags <> 'NONE'"
+        ),
+        "gaz_semi_join_alt": (p + "\nSELECT * FROM alt_semi"),
+        "kg_full": oracle.kg_sql(),
+        "kg_unconsolidated": oracle.kg_sql(consolidated=False),
+        "kg_posthoc_consolidate": oracle.kg_sql(
+            consolidated=True, docs=False, alt=False, ags=False
+        ),
+    }

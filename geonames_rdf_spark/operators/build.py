@@ -1,0 +1,66 @@
+"""End-to-end KG build orchestration over the synthesized gazetteer.
+
+Wires the pre-shaping operators into the two triple-mapping melts — the
+Spark equivalent of the reference's download -> transform -> merge stages
+(`run.sh:33-63`), as ONE lazy logical plan instead of 20 shell steps, so
+Catalyst prunes/pushes across stage boundaries the reference couldn't.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from geonames_rdf_spark import synth
+from geonames_rdf_spark.operators import altnames, places, preshape
+
+
+def gazetteer_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Derive every pre-shaped table from the raw synthesized inputs."""
+    gaz = synth.register_gazetteer(spark, sf_dir)
+    features = gaz["features_plus"]
+    alt = preshape.semi_join_alt_names(gaz["alt_names"], features)
+    best = preshape.best_names(alt)
+    features_bn = preshape.with_best_name(features, best)
+    country_codes = preshape.derive_country_codes(gaz["features"])
+    lookups = {lvl: preshape.derive_admin_lookup(gaz["features"], lvl) for lvl in (1, 2, 3, 4)}
+    hierarchy = preshape.filter_country_hierarchy(gaz["hierarchy_raw"], country_codes)
+    return {
+        "features": features_bn,
+        "alt_names": alt,
+        "country_codes": country_codes,
+        "admin_lookups": lookups,
+        "hierarchy": hierarchy,
+        "ags_map": gaz["ags_map"],
+    }
+
+
+def feature_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = gazetteer_tables(spark, sf_dir)
+    return places.feature_entities(
+        t["features"], t["country_codes"], t["admin_lookups"], t["hierarchy"]
+    )
+
+
+def build_kg(
+    spark: SparkSession,
+    sf_dir: str,
+    consolidate: bool = True,
+    include_docs: bool = True,
+    include_alt: bool = True,
+    include_ags: bool = True,
+    ags_country: str = "C0",
+) -> DataFrame:
+    """Full triple table: features ∪ documents ∪ alternate names ∪ AGS."""
+    t = gazetteer_tables(spark, sf_dir)
+    wide = places.feature_entities(
+        t["features"], t["country_codes"], t["admin_lookups"], t["hierarchy"]
+    )
+    out = places.melt_feature_triples(wide, consolidate=consolidate)
+    if include_docs:
+        out = out.unionByName(places.document_triples(wide))
+    if include_alt:
+        out = out.unionByName(altnames.alt_name_triples(t["alt_names"]))
+    if include_ags:
+        ags = preshape.ags_lookup(t["features"], t["ags_map"], country=ags_country)
+        out = out.unionByName(altnames.ags_triples(ags))
+    return out

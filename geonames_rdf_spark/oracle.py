@@ -1,0 +1,304 @@
+"""DuckDB oracle SQL twins for the KG-construction operators.
+
+The driver compares each ``queries()`` DataFrame against the SQL here,
+executed by DuckDB over the same parquet inputs.  The synthesis CTEs come
+from ``synth.oracle_ctes`` (identical text runs on both engines); this
+module adds the *mapping* logic re-expressed in plain SQL — an independent
+second implementation of the reference rules (places.rq, alternateNames.rq,
+consolidate.rq, compute-bestnames.sh, download.sh), which is exactly what
+an oracle should be.
+"""
+
+from __future__ import annotations
+
+from geonames_rdf_spark import synth
+
+SWS = "https://sws.geonames.org/"
+GN = "http://www.geonames.org/ontology#"
+
+# --- pre-shaping stage CTEs (mirror of operators/preshape.py) --------------
+
+GAZ_PREP = """
+alt_semi AS (
+  SELECT a.* FROM alt_names a
+  WHERE a.geonameid IN (SELECT geonameid FROM features)
+),
+best AS (
+  SELECT geonameid, alternateName AS bestNameCandidate FROM (
+    SELECT geonameid, alternateName,
+           ROW_NUMBER() OVER (PARTITION BY geonameid ORDER BY alternateNameId) AS rn
+    FROM alt_semi WHERE isolanguage = 'en'
+  ) WHERE rn = 1
+),
+fbn AS (
+  SELECT f.*, COALESCE(b.bestNameCandidate, f.name) AS bestName
+  FROM features_plus f LEFT JOIN best b ON f.geonameid = b.geonameid
+),
+countries AS (
+  SELECT geonameid AS countryId, country_code AS countryCode, name
+  FROM features WHERE feature_class = 'A' AND feature_code = 'PCLI'
+),
+adm1_lookup AS (
+  SELECT country_code || '.' || admin1_code AS code, geonameid AS admid
+  FROM features WHERE feature_class = 'A' AND feature_code = 'ADM1'
+),
+adm2_lookup AS (
+  SELECT country_code || '.' || admin1_code || '.' || admin2_code AS code,
+         geonameid AS admid
+  FROM features WHERE feature_class = 'A' AND feature_code = 'ADM2'
+),
+adm3_lookup AS (
+  SELECT country_code || '.' || admin1_code || '.' || admin2_code || '.'
+         || admin3_code AS code, geonameid AS admid
+  FROM features WHERE feature_class = 'A' AND feature_code = 'ADM3'
+),
+adm4_lookup AS (
+  SELECT country_code || '.' || admin1_code || '.' || admin2_code || '.'
+         || admin3_code || '.' || admin4_code AS code, geonameid AS admid
+  FROM features WHERE feature_class = 'A' AND feature_code = 'ADM4'
+),
+hier AS (
+  SELECT parentId, childId FROM hierarchy_raw
+  WHERE parentId IN (SELECT countryId FROM countries)
+)
+"""
+
+# --- wide entity assembly (mirror of operators/places.feature_entities) ----
+
+WIDE = f"""
+fbn2 AS (
+  SELECT f.*,
+    CASE WHEN f.adm2 IS NOT NULL AND f.admin3_code IS NOT NULL
+              AND f.admin3_code <> '' AND f.admin3_code <> 'NONE'
+         THEN f.adm2 || '.' || f.admin3_code ELSE '' END AS adm3_full
+  FROM fbn f
+  WHERE f.population IS NOT NULL AND f.asciiname IS NOT NULL
+    AND f.latitude IS NOT NULL AND f.longitude IS NOT NULL
+    AND f.bestName IS NOT NULL AND f.feature_class IS NOT NULL
+    AND f.feature_class <> '' AND f.country_code IS NOT NULL
+    AND f.country_code <> ''
+),
+fbn3 AS (
+  SELECT f.*,
+    CASE WHEN f.adm3_full <> '' AND f.admin4_code IS NOT NULL
+              AND f.admin4_code <> '' AND f.admin4_code <> 'NONE'
+         THEN f.adm3_full || '.' || f.admin4_code ELSE '' END AS adm4_full
+  FROM fbn2 f
+),
+wide0 AS (
+  SELECT f.*,
+    '{SWS}' || CAST(f.geonameid AS STRING) || '/' AS uri,
+    '{SWS}' || CAST(f.geonameid AS STRING) || '/about.rdf' AS definition_doc,
+    '{SWS}' || CAST(f.geonameid AS STRING) || '/contains.rdf' AS children_doc,
+    '{GN}' || f.feature_class AS feature_class_iri,
+    CASE WHEN f.feature_code IS NOT NULL AND f.feature_code <> ''
+         THEN '{GN}' || f.feature_class || '.' || f.feature_code
+         END AS feature_code_iri,
+    CAST(CAST(f.latitude AS DECIMAL(8,2)) AS STRING) AS lat_lex,
+    CAST(CAST(f.longitude AS DECIMAL(8,2)) AS STRING) AS long_lex,
+    CAST(COALESCE(f.elevation, f.dem) AS STRING) AS alt_lex,
+    'https://www.geonames.org/' || CAST(f.geonameid AS STRING) || '/'
+      || REPLACE(REPLACE(LOWER(f.asciiname), ',', ''), ' ', '-') || '.html'
+      AS location_map,
+    (f.feature_class = 'A' AND f.feature_code = 'PCLI') AS is_pcli,
+    (f.feature_class = 'A' AND f.feature_code = 'ADM1') AS is_adm1,
+    CAST(f.modification_date AS STRING) AS mod_lex,
+    '{SWS}' || CAST(c.countryId AS STRING) || '/' AS parent_country,
+    CASE WHEN a1.admid IS NOT NULL AND a1.admid <> f.geonameid
+         THEN '{SWS}' || CAST(a1.admid AS STRING) || '/' END AS parent_adm1,
+    CASE WHEN a2.admid IS NOT NULL AND a2.admid <> f.geonameid
+         THEN '{SWS}' || CAST(a2.admid AS STRING) || '/' END AS parent_adm2,
+    CASE WHEN a3.admid IS NOT NULL AND a3.admid <> f.geonameid
+         THEN '{SWS}' || CAST(a3.admid AS STRING) || '/' END AS parent_adm3,
+    CASE WHEN a4.admid IS NOT NULL AND a4.admid <> f.geonameid
+         THEN '{SWS}' || CAST(a4.admid AS STRING) || '/' END AS parent_adm4,
+    CASE WHEN h.parentId IS NOT NULL
+         THEN '{SWS}' || CAST(h.parentId AS STRING) || '/' END AS country_parent
+  FROM fbn3 f
+  JOIN countries c ON f.country_code = c.countryCode
+  LEFT JOIN adm1_lookup a1 ON f.adm1 IS NOT NULL AND f.adm1 <> '' AND f.adm1 = a1.code
+  LEFT JOIN adm2_lookup a2 ON f.adm2 IS NOT NULL AND f.adm2 <> '' AND f.adm2 = a2.code
+  LEFT JOIN adm3_lookup a3 ON f.adm3_full <> '' AND f.adm3_full = a3.code
+  LEFT JOIN adm4_lookup a4 ON f.adm4_full <> '' AND f.adm4_full = a4.code
+  LEFT JOIN hier h ON f.geonameid = h.childId
+),
+wide AS (
+  SELECT w.*,
+    CASE WHEN w.is_adm1 THEN w.parent_country
+         ELSE COALESCE(w.parent_adm4, w.parent_adm3, w.parent_adm2,
+                       w.parent_adm1, w.country_parent) END AS final_parent
+  FROM wide0 w
+)
+"""
+
+_NULLS = "CAST(NULL AS STRING) AS obj_lang, CAST(NULL AS STRING) AS obj_dt"
+_XSD = "http://www.w3.org/2001/XMLSchema#"
+
+
+def _feat_triples(consolidated: bool) -> str:
+    pop_where = "population IS NOT NULL"
+    alt_where = "alt_lex IS NOT NULL"
+    prox_where = "TRUE"
+    pc_where = "TRUE"
+    if consolidated:
+        pop_where += " AND population <> 0"
+        alt_where += " AND alt_lex <> '-9999'"
+        prox_where = "(is_pcli OR NOT is_adm1)"
+        pc_where = "NOT is_pcli"
+    iri = "TRUE AS obj_is_iri"
+    lit = "FALSE AS obj_is_iri"
+    rows = [
+        f"SELECT uri AS subj, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS pred, '{GN}Feature' AS obj, {iri}, {_NULLS} FROM wide",
+        f"SELECT uri, 'http://www.w3.org/2000/01/rdf-schema#isDefinedBy', definition_doc, {iri}, {_NULLS} FROM wide",
+        f"SELECT uri, '{GN}countryCode', country_code, {lit}, {_NULLS} FROM wide",
+        f"SELECT uri, '{GN}featureClass', feature_class_iri, {iri}, {_NULLS} FROM wide",
+        f"SELECT uri, '{GN}featureCode', COALESCE(feature_code_iri, ''), feature_code_iri IS NOT NULL AS obj_is_iri, {_NULLS} FROM wide",
+        f"SELECT uri, '{GN}population', CAST(population AS STRING), {lit}, CAST(NULL AS STRING), '{_XSD}integer' FROM wide WHERE {pop_where}",
+        f"SELECT uri, 'http://www.w3.org/2003/01/geo/wgs84_pos#lat', lat_lex, {lit}, CAST(NULL AS STRING), '{_XSD}decimal' FROM wide",
+        f"SELECT uri, 'http://www.w3.org/2003/01/geo/wgs84_pos#long', long_lex, {lit}, CAST(NULL AS STRING), '{_XSD}decimal' FROM wide",
+        f"""SELECT uri,
+              CASE WHEN is_pcli THEN '{GN}neighbouringFeatures' ELSE '{GN}nearbyFeatures' END,
+              CASE WHEN is_pcli THEN '{SWS}' || CAST(geonameid AS STRING) || '/neighbours.rdf'
+                   ELSE '{SWS}' || CAST(geonameid AS STRING) || '/nearby.rdf' END,
+              {iri}, {_NULLS} FROM wide WHERE {prox_where}""",
+        f"SELECT uri, '{GN}locationMap', location_map, {iri}, {_NULLS} FROM wide",
+        f"SELECT uri, '{GN}parentCountry', parent_country, {iri}, {_NULLS} FROM wide WHERE {pc_where}",
+        f"SELECT uri, '{GN}parentADM1', parent_adm1, {iri}, {_NULLS} FROM wide WHERE parent_adm1 IS NOT NULL",
+        f"SELECT uri, '{GN}parentADM2', parent_adm2, {iri}, {_NULLS} FROM wide WHERE parent_adm2 IS NOT NULL",
+        f"SELECT uri, '{GN}parentADM3', parent_adm3, {iri}, {_NULLS} FROM wide WHERE parent_adm3 IS NOT NULL",
+        f"SELECT uri, '{GN}parentADM4', parent_adm4, {iri}, {_NULLS} FROM wide WHERE parent_adm4 IS NOT NULL",
+        f"SELECT uri, 'http://www.w3.org/2003/01/geo/wgs84_pos#alt', alt_lex, {lit}, CAST(NULL AS STRING), '{_XSD}decimal' FROM wide WHERE {alt_where}",
+        f"SELECT uri, '{GN}childrenFeatures', children_doc, {iri}, {_NULLS} FROM wide",
+        f"SELECT uri, '{GN}parentFeature', final_parent, {iri}, {_NULLS} FROM wide WHERE final_parent IS NOT NULL",
+        f"SELECT uri, '{GN}name', bestName, {lit}, {_NULLS} FROM wide",
+    ]
+    return "\nUNION ALL\n".join(rows)
+
+
+DOC_TRIPLES = f"""
+SELECT definition_doc AS subj, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS pred,
+       'http://xmlns.com/foaf/0.1/Document' AS obj, TRUE AS obj_is_iri, {_NULLS} FROM wide
+UNION ALL
+SELECT definition_doc, 'http://xmlns.com/foaf/0.1/primaryTopic', uri, TRUE, {_NULLS} FROM wide
+UNION ALL
+SELECT definition_doc, 'http://creativecommons.org/ns#license',
+       'https://creativecommons.org/licenses/by/4.0/', TRUE, {_NULLS} FROM wide
+UNION ALL
+SELECT definition_doc, 'http://creativecommons.org/ns#attributionURL',
+       'https://www.geonames.org', TRUE, {_NULLS} FROM wide
+UNION ALL
+SELECT definition_doc, 'http://creativecommons.org/ns#attributionName',
+       'GeoNames', FALSE, CAST(NULL AS STRING), '{_XSD}string' FROM wide
+UNION ALL
+SELECT definition_doc, 'http://purl.org/dc/terms/modified', mod_lex, FALSE,
+       CAST(NULL AS STRING), '{_XSD}date' FROM wide WHERE mod_lex IS NOT NULL
+"""
+
+ALT_CLASS = rf"""
+alt_class AS (
+  SELECT
+    '{SWS}' || CAST(geonameid AS STRING) || '/' AS subj,
+    CASE WHEN isolanguage IS NOT NULL AND isolanguage <> '' THEN isolanguage END AS lang,
+    CASE WHEN isPreferredName IS NOT NULL AND isPreferredName <> '' THEN isPreferredName END AS pref,
+    CASE WHEN isShortName IS NOT NULL AND isShortName <> '' THEN isShortName END AS short,
+    alternateName AS name
+  FROM alt_semi
+  WHERE geonameid IS NOT NULL AND alternateName IS NOT NULL
+),
+alt_class2 AS (
+  SELECT *,
+    (lang IS NOT NULL AND lang <> 'link' AND lang <> 'post'
+     AND regexp_matches(lang, '^[a-z]{{2,3}}$')) AS valid_tag,
+    CASE WHEN lang = 'link'
+              AND regexp_matches(name, '^https?://[a-z-]+\.wikipedia\.org/wiki/')
+         THEN name END AS wiki
+  FROM alt_class
+),
+alt_class3 AS (
+  SELECT *,
+    CASE WHEN wiki IS NOT NULL
+              AND regexp_matches(wiki, '^https?://en\.wikipedia\.org/wiki/')
+         THEN 'https://dbpedia.org/resource/' ||
+           CASE WHEN contains(wiki, '%')
+                THEN regexp_replace(wiki, '^https?://en\.wikipedia\.org/wiki/', '')
+                ELSE replace(regexp_replace(wiki, '^https?://en\.wikipedia\.org/wiki/', ''), ' ', '%20')
+           END
+    END AS dbpedia,
+    CASE WHEN short = '1' THEN NULL
+         WHEN pref = '1' THEN NULL
+         WHEN valid_tag THEN name
+         WHEN lang IS NULL THEN name END AS alt_name,
+    CASE WHEN short = '1' OR pref = '1' THEN NULL
+         WHEN valid_tag THEN lang END AS alt_lang,
+    CASE WHEN lang = 'post' THEN name END AS postal_code,
+    CASE WHEN pref = '1' AND valid_tag THEN name END AS official_name,
+    CASE WHEN pref = '1' AND valid_tag THEN lang END AS official_lang,
+    CASE WHEN short = '1' THEN name END AS short_name,
+    CASE WHEN short = '1' AND valid_tag THEN lang END AS short_lang
+  FROM alt_class2
+)
+"""
+
+ALT_TRIPLES = f"""
+SELECT subj, '{GN}wikipediaArticle' AS pred, wiki AS obj, TRUE AS obj_is_iri, {_NULLS}
+  FROM alt_class3 WHERE wiki IS NOT NULL
+UNION ALL
+SELECT subj, 'http://www.w3.org/2000/01/rdf-schema#seeAlso', dbpedia, TRUE, {_NULLS}
+  FROM alt_class3 WHERE dbpedia IS NOT NULL
+UNION ALL
+SELECT subj, '{GN}alternateName', alt_name, FALSE, alt_lang, CAST(NULL AS STRING)
+  FROM alt_class3 WHERE alt_name IS NOT NULL
+UNION ALL
+SELECT subj, '{GN}postalCode', postal_code, FALSE, {_NULLS}
+  FROM alt_class3 WHERE postal_code IS NOT NULL
+UNION ALL
+SELECT subj, '{GN}officialName', official_name, FALSE, official_lang, CAST(NULL AS STRING)
+  FROM alt_class3 WHERE official_name IS NOT NULL
+UNION ALL
+SELECT subj, '{GN}shortName', short_name, FALSE, short_lang, CAST(NULL AS STRING)
+  FROM alt_class3 WHERE short_name IS NOT NULL
+"""
+
+AGS_TRIPLES = """
+SELECT '{sws}' || CAST(geonameid AS STRING) || '/' AS subj,
+       'http://www.wikidata.org/prop/direct/P439' AS pred,
+       ags AS obj, FALSE AS obj_is_iri, {nulls}
+FROM (
+  SELECT f.geonameid,
+    COALESCE(
+      CASE WHEN f.admin4_code <> '' AND f.admin4_code <> 'NONE' THEN f.admin4_code END,
+      CASE WHEN f.admin3_code <> '' AND f.admin3_code <> 'NONE' THEN f.admin3_code END,
+      CASE WHEN f.admin2_code <> '' AND f.admin2_code <> 'NONE' THEN f.admin2_code END,
+      CASE WHEN f.admin1_code <> '' AND f.admin1_code <> 'NONE' THEN m.ags END
+    ) AS ags
+  FROM features f LEFT JOIN ags_map m ON f.admin1_code = m.admin1_code
+  WHERE f.country_code = '{country}' AND f.feature_class = 'A'
+    AND regexp_matches(f.feature_code, 'ADM[1-4]')
+)
+WHERE ags IS NOT NULL AND ags <> '' AND ags <> 'NONE'
+""".format(sws=SWS, nulls=_NULLS, country="C0")
+
+
+def kg_prefix() -> str:
+    """Full WITH-prolog: synthesis + prep + wide + alt classification."""
+    return (
+        synth.oracle_ctes("features", "features_plus", "alt_names",
+                          "hierarchy_raw", "ags_map")
+        + ",\n" + GAZ_PREP.strip()
+        + ",\n" + WIDE.strip()
+        + ",\n" + ALT_CLASS.strip()
+    )
+
+
+def kg_sql(consolidated: bool = True, docs: bool = True, alt: bool = True,
+           ags: bool = True) -> str:
+    """Oracle for build.build_kg with matching flags."""
+    parts = [_feat_triples(consolidated)]
+    if docs:
+        parts.append(DOC_TRIPLES.strip())
+    if alt:
+        parts.append(ALT_TRIPLES.strip())
+    if ags:
+        parts.append(AGS_TRIPLES.strip())
+    body = "\nUNION ALL\n".join(parts)
+    return f"{kg_prefix()}\n{body}"
