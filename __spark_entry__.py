@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from geonames_rdf_spark import oracle, synth
 from geonames_rdf_spark.operators import build, consolidate, preshape
+from geonames_rdf_spark.plans import workload
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -71,8 +72,68 @@ def _q_kg_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return consolidate.consolidate_triples(raw)
 
 
+# --- analytical query workload over the KG (SURVEY.md §2.C) ---------------
+
+def _kg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return build.build_kg(spark, sf_dir)
+
+
+def _q_c1(spark, sf_dir):
+    return workload.q_all_limit(_kg(spark, sf_dir))
+
+
+def _q_c2(spark, sf_dir):
+    return workload.q_population(_kg(spark, sf_dir))
+
+
+def _q_c3(spark, sf_dir):
+    return workload.q_municipalities(_kg(spark, sf_dir), oracle.SEED_ADM1)
+
+
+def _q_c4_anc(spark, sf_dir):
+    return workload.q_ancestors(_kg(spark, sf_dir), oracle.SEED_PLACE)
+
+
+def _q_c4_desc(spark, sf_dir):
+    return workload.q_descendants(_kg(spark, sf_dir), oracle.SEED_ADM1)
+
+
+def _q_c4_edges(spark, sf_dir):
+    return workload.q_subdivision_edges(_kg(spark, sf_dir), oracle.SEED_ADM1)
+
+
+def _q_c5(spark, sf_dir):
+    from geonames_rdf_spark import vocab
+
+    return workload.q_longest_names(_kg(spark, sf_dir), vocab.GN_OFFICIAL_NAME, "en")
+
+
+def _q_c8(spark, sf_dir):
+    return workload.q_hierarchy_report(_kg(spark, sf_dir), oracle.SEED_PLACE)
+
+
+def _q_c9(spark, sf_dir):
+    return workload.q_museums(_kg(spark, sf_dir), oracle.SEED_CITY)
+
+
+def _q_c12(spark, sf_dir):
+    return workload.q_code_labels(
+        _kg(spark, sf_dir), workload.code_label_table(spark)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "c1_scan_limit": _q_c1,
+        "c2_population_topk": _q_c2,
+        "c3_municipalities": _q_c3,
+        "c4_ancestors": _q_c4_anc,
+        "c4_descendants": _q_c4_desc,
+        "c4_subdivision_edges": _q_c4_edges,
+        "c5_longest_official_en": _q_c5,
+        "c8_hierarchy_report": _q_c8,
+        "c9_museums_knn": _q_c9,
+        "c12_code_labels": _q_c12,
         "gaz_best_names": _q_best_names,
         "gaz_country_codes": _q_country_codes,
         "gaz_admin_lookup3": _q_admin_lookup3,
@@ -88,6 +149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     p = oracle.kg_prefix()
     return {
+        **oracle.workload_sql(),
         "gaz_best_names": (
             p + "\nSELECT geonameid, bestNameCandidate FROM best"
         ),

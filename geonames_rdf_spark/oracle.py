@@ -302,3 +302,215 @@ def kg_sql(consolidated: bool = True, docs: bool = True, alt: bool = True,
         parts.append(AGS_TRIPLES.strip())
     body = "\nUNION ALL\n".join(parts)
     return f"{kg_prefix()}\n{body}"
+
+
+# --- query-workload oracles (SURVEY.md §2.C) -------------------------------
+
+def kg_cte(recursive: bool = False) -> str:
+    """Prolog + ``kg AS (<full triple union>)`` for workload queries."""
+    body = "\nUNION ALL\n".join(
+        [_feat_triples(True), DOC_TRIPLES.strip(), ALT_TRIPLES.strip(),
+         AGS_TRIPLES.strip()]
+    )
+    prefix = kg_prefix()
+    if recursive:
+        prefix = prefix.replace("WITH ", "WITH RECURSIVE ", 1)
+    return f"{prefix},\nkg AS (\n{body}\n)"
+
+
+_ENT = """
+ent AS (
+  SELECT subj,
+    MAX(CASE WHEN pred = '{gn}featureCode' THEN obj END) AS feature_code,
+    MAX(CASE WHEN pred = '{gn}featureClass' THEN obj END) AS feature_class,
+    MAX(CASE WHEN pred = '{gn}name' THEN obj END) AS name,
+    MAX(CASE WHEN pred = '{gn}parentFeature' THEN obj END) AS parent,
+    MAX(CASE WHEN pred = '{gn}population' THEN obj END) AS population,
+    MAX(CASE WHEN pred = 'http://www.wikidata.org/prop/direct/P439' THEN obj END) AS municipalityKey,
+    MAX(CASE WHEN pred = 'http://www.w3.org/2003/01/geo/wgs84_pos#lat' THEN obj END) AS latitude,
+    MAX(CASE WHEN pred = 'http://www.w3.org/2003/01/geo/wgs84_pos#long' THEN obj END) AS longitude,
+    MAX(CASE WHEN pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' THEN obj END) AS rdf_type
+  FROM kg GROUP BY subj
+)
+""".format(gn=GN)
+
+
+def _ancestors_cte(seed_uri: str) -> str:
+    return f"""
+ancestors AS (
+  SELECT CAST('{seed_uri}' AS STRING) AS node, 0 AS depth
+  UNION
+  SELECT e.obj, a.depth + 1
+  FROM ancestors a JOIN kg e
+    ON e.pred = '{GN}parentFeature' AND e.subj = a.node
+),
+anc AS (SELECT node, MIN(depth) AS depth FROM ancestors GROUP BY node)
+"""
+
+
+def _descendants_cte(root_uri: str) -> str:
+    return f"""
+descendants AS (
+  SELECT CAST('{root_uri}' AS STRING) AS node, 0 AS depth
+  UNION
+  SELECT e.subj, d.depth + 1
+  FROM descendants d JOIN kg e
+    ON e.pred = '{GN}parentFeature' AND e.obj = d.node
+),
+des AS (SELECT node, MIN(depth) AS depth FROM descendants GROUP BY node)
+"""
+
+
+def _longest_cte(alias: str, pred: str, prefix: str, out: str) -> str:
+    return f"""
+{alias} AS (
+  SELECT subj, name AS {out} FROM (
+    SELECT subj, obj AS name,
+           ROW_NUMBER() OVER (PARTITION BY subj ORDER BY obj) AS rn
+    FROM (
+      SELECT subj, obj,
+             MAX(LENGTH(obj)) OVER (PARTITION BY subj) AS ml
+      FROM kg
+      WHERE pred = '{pred}' AND obj_lang IS NOT NULL AND obj_lang LIKE '{prefix}%'
+    ) WHERE LENGTH(obj) = ml
+  ) WHERE rn = 1
+)
+"""
+
+
+_HAVERSINE = """
+CAST(ROUND(
+  2 * 6371008.8 * ASIN(SQRT(
+    POW(SIN(RADIANS({lat2} - {lat1}) / 2), 2)
+    + COS(RADIANS({lat1})) * COS(RADIANS({lat2}))
+      * POW(SIN(RADIANS({lon2} - {lon1}) / 2), 2)
+  )), 0) AS BIGINT)
+"""
+
+SEED_PLACE = SWS + "110/"
+SEED_ADM1 = SWS + "10/"
+SEED_CITY = SWS + "66/"
+
+
+def workload_sql() -> dict[str, str]:
+    gn = GN
+    hav = _HAVERSINE.format(
+        lat1="c.city_lat", lon1="c.city_long",
+        lat2="CAST(m.latitude AS DOUBLE)", lon2="CAST(m.longitude AS DOUBLE)",
+    )
+    return {
+        "c1_scan_limit": (
+            kg_cte() + "\nSELECT subj, pred, obj FROM kg"
+                       " ORDER BY subj, pred, obj LIMIT 10"
+        ),
+        "c2_population_topk": (
+            kg_cte() + ",\n" + _ENT.strip() + f"""
+SELECT subj AS feature, name, CAST(population AS BIGINT) AS population,
+       latitude, longitude
+FROM ent
+WHERE feature_code = '{gn}A.ADM4' AND CAST(population AS BIGINT) > 500000
+"""
+        ),
+        "c3_municipalities": (
+            kg_cte() + ",\n" + _ENT.strip() + f"""
+SELECT subj AS feature, name, municipalityKey,
+       CAST(population AS BIGINT) AS num, latitude, longitude
+FROM ent
+WHERE rdf_type = '{gn}Feature' AND parent = '{SEED_ADM1}'
+  AND feature_code IS NOT NULL AND name IS NOT NULL
+  AND municipalityKey IS NOT NULL AND population IS NOT NULL
+  AND latitude IS NOT NULL AND longitude IS NOT NULL
+"""
+        ),
+        "c4_ancestors": (
+            kg_cte(recursive=True) + ",\n" + _ancestors_cte(SEED_PLACE).strip()
+            + "\nSELECT node AS feature, depth FROM anc"
+        ),
+        "c4_descendants": (
+            kg_cte(recursive=True) + ",\n" + _descendants_cte(SEED_ADM1).strip()
+            + "\nSELECT node AS feature, depth FROM des"
+        ),
+        "c4_subdivision_edges": (
+            kg_cte(recursive=True) + ",\n" + _descendants_cte(SEED_ADM1).strip()
+            + ",\n" + _ENT.strip() + f"""
+SELECT e.subj AS subject, e.parent AS object, e.name AS subjectLabel,
+       p.name AS objectLabel
+FROM ent e
+LEFT JOIN ent p ON e.parent = p.subj
+WHERE e.subj IN (SELECT node FROM des)
+  AND e.feature_class = '{gn}A' AND e.parent IS NOT NULL
+"""
+        ),
+        "c5_longest_official_en": (
+            kg_cte() + f"""
+SELECT subj AS feature, obj AS name, obj_lang AS lang FROM (
+  SELECT subj, obj, obj_lang,
+         MAX(LENGTH(obj)) OVER (PARTITION BY subj) AS ml
+  FROM kg
+  WHERE pred = '{gn}officialName' AND obj_lang IS NOT NULL
+    AND obj_lang LIKE 'en%'
+) WHERE LENGTH(obj) = ml
+"""
+        ),
+        "c8_hierarchy_report": (
+            kg_cte(recursive=True) + ",\n" + _ancestors_cte(SEED_PLACE).strip()
+            + ",\n" + _ENT.strip()
+            + ",\n" + _longest_cte("off_en", gn + "officialName", "en", "official_en").strip()
+            + ",\n" + _longest_cte("alt_en", gn + "alternateName", "en", "alt_en").strip()
+            + ",\n" + _longest_cte("off_de", gn + "officialName", "de", "official_de").strip()
+            + ",\n" + _longest_cte("alt_de", gn + "alternateName", "de", "alt_de").strip()
+            + """
+SELECT a.node AS feature,
+       COALESCE(o1.official_en, a1.alt_en) AS name,
+       COALESCE(o2.official_de, a2.alt_de) AS name_de,
+       e.municipalityKey, e.feature_code AS featureCode,
+       e.latitude, e.longitude, a.depth
+FROM anc a
+JOIN ent e ON a.node = e.subj
+LEFT JOIN off_en o1 ON a.node = o1.subj
+LEFT JOIN alt_en a1 ON a.node = a1.subj
+LEFT JOIN off_de o2 ON a.node = o2.subj
+LEFT JOIN alt_de a2 ON a.node = a2.subj
+WHERE e.feature_code IS NOT NULL AND e.latitude IS NOT NULL
+  AND e.longitude IS NOT NULL
+"""
+        ),
+        "c9_museums_knn": (
+            kg_cte() + ",\n" + _ENT.strip() + f""",
+city AS (
+  SELECT CAST(latitude AS DOUBLE) AS city_lat,
+         CAST(longitude AS DOUBLE) AS city_long
+  FROM ent WHERE subj = '{SEED_CITY}'
+),
+wiki AS (
+  SELECT subj, MIN(obj) AS wikipediaArticle FROM kg
+  WHERE pred = '{gn}wikipediaArticle'
+    AND obj LIKE 'https://en.wikipedia.org%'
+  GROUP BY subj
+)
+SELECT m.subj AS feature, m.name, m.latitude, m.longitude,
+       {hav} AS distance_in_metre,
+       w.wikipediaArticle
+FROM ent m CROSS JOIN city c
+LEFT JOIN wiki w ON m.subj = w.subj
+WHERE m.parent = '{SEED_CITY}' AND m.feature_code = '{gn}S.MUS'
+  AND m.name IS NOT NULL AND m.latitude IS NOT NULL
+  AND m.longitude IS NOT NULL
+"""
+        ),
+        "c12_code_labels": (
+            kg_cte() + f""",
+labels(code_iri, label) AS (VALUES
+  ('{gn}A.PCLI', 'independent political entity'),
+  ('{gn}A.ADM1', 'first-order administrative division'),
+  ('{gn}A.ADM2', 'second-order administrative division'),
+  ('{gn}A.ADM3', 'third-order administrative division'),
+  ('{gn}A.ADM4', 'fourth-order administrative division'),
+  ('{gn}P.PPL', 'populated place'),
+  ('{gn}S.MUS', 'museum'))
+SELECT subj AS feature, obj AS code_iri, l.label
+FROM kg JOIN labels l ON kg.obj = l.code_iri
+WHERE pred = '{gn}featureCode'
+"""
+        ),
+    }

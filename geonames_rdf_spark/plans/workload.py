@@ -1,0 +1,305 @@
+"""Analytical query workload over the triple table (SURVEY.md §2.C).
+
+Spark-native equivalents of the reference's six canned SPARQL queries
+(``web/queries/*.rq``).  Star joins (entity assembly from triples) are
+expressed as one groupBy-pivot aggregation — a single shuffle — instead of
+the N self-joins a naive translation would do; per-group argmax uses a
+window max instead of the reference's quadratic NOT EXISTS; the transitive
+property path is the BFS fixpoint in ``operators.graph``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from geonames_rdf_spark import vocab
+from geonames_rdf_spark.functions.terms import haversine_m
+from geonames_rdf_spark.operators import graph
+
+
+def entity_table(triples: DataFrame, preds: dict[str, str]) -> DataFrame:
+    """Star-join entity assembly: one row per subject, one column per
+    predicate (first value).  Equivalent of a SPARQL basic graph pattern
+    with N single-valued predicates on one subject (municipalities.rq:8-17)
+    — done as ONE hash aggregation, not N self-joins.
+    """
+    t = triples.filter(F.col("pred").isin(*preds.values()))
+    aggs = [
+        F.first(F.when(F.col("pred") == p, F.col("obj")), ignorenulls=True).alias(c)
+        for c, p in preds.items()
+    ]
+    return t.groupBy("subj").agg(*aggs)
+
+
+def q_all_limit(triples: DataFrame, n: int = 10) -> DataFrame:
+    """C1 (all.rq): full scan + LIMIT — made deterministic by total order."""
+    return triples.select("subj", "pred", "obj").orderBy("subj", "pred", "obj").limit(n)
+
+
+def q_population(triples: DataFrame, threshold: int = 500_000) -> DataFrame:
+    """C2 (population.rq): ADM4 features, population > threshold, top-k sort."""
+    e = entity_table(
+        triples,
+        {
+            "feature_code": vocab.GN_FEATURE_CODE,
+            "name": vocab.GN_NAME,
+            "population": vocab.GN_POPULATION,
+            "latitude": vocab.WGS84_LAT,
+            "longitude": vocab.WGS84_LONG,
+        },
+    )
+    return (
+        e.filter(F.col("feature_code") == vocab.GN + "A.ADM4")
+        .withColumn("population", F.col("population").cast("long"))
+        .filter(F.col("population") > threshold)
+        .select(
+            F.col("subj").alias("feature"), "name", "population",
+            "latitude", "longitude",
+        )
+        .orderBy(F.desc("population"))
+    )
+
+
+def q_municipalities(triples: DataFrame, parent_uri: str) -> DataFrame:
+    """C3 (municipalities.rq): 8-predicate star join + parent pin + sort."""
+    e = entity_table(
+        triples,
+        {
+            "rdf_type": vocab.RDF_TYPE,
+            "parent": vocab.GN_PARENT_FEATURE,
+            "feature_code": vocab.GN_FEATURE_CODE,
+            "name": vocab.GN_NAME,
+            "municipalityKey": vocab.WDT_P439,
+            "population": vocab.GN_POPULATION,
+            "latitude": vocab.WGS84_LAT,
+            "longitude": vocab.WGS84_LONG,
+        },
+    )
+    return (
+        e.filter(
+            (F.col("rdf_type") == vocab.GN_FEATURE)
+            & (F.col("parent") == parent_uri)
+            & F.col("feature_code").isNotNull()
+            & F.col("name").isNotNull()
+            & F.col("municipalityKey").isNotNull()
+            & F.col("population").isNotNull()
+            & F.col("latitude").isNotNull()
+            & F.col("longitude").isNotNull()
+        )
+        .select(
+            F.col("subj").alias("feature"), "name", "municipalityKey",
+            F.col("population").cast("long").alias("num"),
+            "latitude", "longitude",
+        )
+        .orderBy("name")
+    )
+
+
+def q_ancestors(triples: DataFrame, seed_uri: str) -> DataFrame:
+    """C4 (hierarchy.rq:9-12): seed + its transitive parents with depth."""
+    edges = graph.parent_edges(triples, vocab.GN_PARENT_FEATURE)
+    seeds = triples.sparkSession.createDataFrame([(seed_uri,)], ["node"])
+    return graph.transitive_closure(edges, seeds).select(
+        F.col("node").alias("feature"), "depth"
+    )
+
+
+def q_descendants(triples: DataFrame, seed_uri: str) -> DataFrame:
+    """C4' (graph_administrative_subdivisions.rq): subtree below a feature."""
+    edges = graph.parent_edges(triples, vocab.GN_PARENT_FEATURE).select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    seeds = triples.sparkSession.createDataFrame([(seed_uri,)], ["node"])
+    return graph.transitive_closure(edges, seeds).select(
+        F.col("node").alias("feature"), "depth"
+    )
+
+
+def q_subdivision_edges(triples: DataFrame, root_uri: str) -> DataFrame:
+    """C4 composite (graph_administrative_subdivisions.rq): parentFeature
+    edges among class-A descendants of ``root_uri``, with optional labels."""
+    desc = q_descendants(triples, root_uri).select(F.col("feature").alias("subj"))
+    e = entity_table(
+        triples,
+        {
+            "object": vocab.GN_PARENT_FEATURE,
+            "feature_class": vocab.GN_FEATURE_CLASS,
+            "subjectLabel": vocab.GN_NAME,
+        },
+    )
+    names = entity_table(triples, {"objectLabel": vocab.GN_NAME})
+    return (
+        e.join(desc, "subj", "left_semi")
+        .filter(
+            (F.col("feature_class") == vocab.GN + "A")
+            & F.col("object").isNotNull()
+        )
+        .select(F.col("subj").alias("subject"), "object", "subjectLabel")
+        .join(
+            names.select(F.col("subj").alias("object"), "objectLabel"),
+            "object", "left",
+        )
+        .select("subject", "object", "subjectLabel", "objectLabel")
+    )
+
+
+def q_longest_names(triples: DataFrame, pred: str, lang_prefix: str) -> DataFrame:
+    """C5/C6 (hierarchy.rq:24-58): longest name per feature for a language.
+
+    The reference uses FILTER NOT EXISTS (strictly longer) — quadratic in
+    names-per-feature; keeps ties.  Spark-native: window MAX(length) per
+    subject + filter, same tie semantics, one shuffle.
+    """
+    from pyspark.sql import Window
+
+    named = triples.filter(
+        (F.col("pred") == pred)
+        & F.col("obj_lang").isNotNull()
+        & F.col("obj_lang").startswith(lang_prefix)
+    )
+    w = Window.partitionBy("subj")
+    return (
+        named.withColumn("maxlen", F.max(F.length("obj")).over(w))
+        .filter(F.length("obj") == F.col("maxlen"))
+        .select(F.col("subj").alias("feature"), F.col("obj").alias("name"),
+                F.col("obj_lang").alias("lang"))
+    )
+
+
+def q_hierarchy_report(triples: DataFrame, seed_uri: str) -> DataFrame:
+    """C4+C5+C7+C8 composite (hierarchy.rq): the seed and its transitive
+    parents, with feature code, coords, optional municipality key, longest
+    en/de names, and depth (the reference orders by COUNT(parentFeature) —
+    depth is that count for a tree)."""
+    anc = q_ancestors(triples, seed_uri).select(
+        F.col("feature").alias("subj"), "depth"
+    )
+    e = entity_table(
+        triples,
+        {
+            "featureCode": vocab.GN_FEATURE_CODE,
+            "latitude": vocab.WGS84_LAT,
+            "longitude": vocab.WGS84_LONG,
+            "municipalityKey": vocab.WDT_P439,
+        },
+    )
+    base = anc.join(e, "subj", "left").filter(
+        F.col("featureCode").isNotNull()
+        & F.col("latitude").isNotNull()
+        & F.col("longitude").isNotNull()
+    )
+
+    def longest_one(pred: str, prefix: str, out: str) -> DataFrame:
+        from pyspark.sql import Window
+
+        n = q_longest_names(triples, pred, prefix)
+        w = Window.partitionBy("feature").orderBy("name")
+        return (
+            n.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("feature").alias("subj"), F.col("name").alias(out))
+        )
+
+    off_en = longest_one(vocab.GN_OFFICIAL_NAME, "en", "official_en")
+    alt_en = longest_one(vocab.GN_ALTERNATE_NAME, "en", "alt_en")
+    off_de = longest_one(vocab.GN_OFFICIAL_NAME, "de", "official_de")
+    alt_de = longest_one(vocab.GN_ALTERNATE_NAME, "de", "alt_de")
+    out = (
+        base.join(off_en, "subj", "left")
+        .join(alt_en, "subj", "left")
+        .join(off_de, "subj", "left")
+        .join(alt_de, "subj", "left")
+        .withColumn("name", F.coalesce("official_en", "alt_en"))
+        .withColumn("name_de", F.coalesce("official_de", "alt_de"))
+    )
+    return out.select(
+        F.col("subj").alias("feature"), "name", "name_de", "municipalityKey",
+        "featureCode", "latitude", "longitude", "depth",
+    ).orderBy("depth")
+
+
+def q_museums(triples: DataFrame, city_uri: str, limit: int = 100) -> DataFrame:
+    """C9-C11 (museums.rq): museums with the pinned city as parent, ordered
+    by great-circle distance to the city centre, optional en-wikipedia link.
+
+    geof:distance -> native haversine Column expression (no GeoSPARQL
+    engine); distance rounded to whole metres for stable comparison.
+    """
+    e = entity_table(
+        triples,
+        {
+            "parent": vocab.GN_PARENT_FEATURE,
+            "feature_code": vocab.GN_FEATURE_CODE,
+            "name": vocab.GN_NAME,
+            "latitude": vocab.WGS84_LAT,
+            "longitude": vocab.WGS84_LONG,
+        },
+    )
+    city = e.filter(F.col("subj") == city_uri).select(
+        F.col("latitude").cast("double").alias("city_lat"),
+        F.col("longitude").cast("double").alias("city_long"),
+    )
+    wiki = (
+        triples.filter(
+            (F.col("pred") == vocab.GN_WIKIPEDIA_ARTICLE)
+            & F.col("obj").startswith("https://en.wikipedia.org")
+        )
+        .groupBy("subj")
+        .agg(F.min("obj").alias("wikipediaArticle"))
+    )
+    museums = (
+        e.filter(
+            (F.col("parent") == city_uri)
+            & (F.col("feature_code") == vocab.GN + "S.MUS")
+            & F.col("name").isNotNull()
+            & F.col("latitude").isNotNull()
+            & F.col("longitude").isNotNull()
+        )
+        .crossJoin(F.broadcast(city))
+        .withColumn(
+            "distance_in_metre",
+            F.round(
+                haversine_m(
+                    F.col("city_lat"), F.col("city_long"),
+                    F.col("latitude").cast("double"),
+                    F.col("longitude").cast("double"),
+                ),
+                0,
+            ).cast("long"),
+        )
+        .join(wiki, "subj", "left")
+    )
+    return museums.select(
+        F.col("subj").alias("feature"), "name", "latitude", "longitude",
+        "distance_in_metre", "wikipediaArticle",
+    ).orderBy("distance_in_metre", "feature").limit(limit)
+
+
+def q_code_labels(triples: DataFrame, labels: DataFrame) -> DataFrame:
+    """C12 (hierarchy.rq:17-19): join feature codes to ontology prefLabels.
+
+    ``labels``: (code_iri, label) — static ontology concepts, broadcast.
+    """
+    codes = (
+        triples.filter(F.col("pred") == vocab.GN_FEATURE_CODE)
+        .select(F.col("subj").alias("feature"), F.col("obj").alias("code_iri"))
+    )
+    return codes.join(F.broadcast(labels), "code_iri", "inner").select(
+        "feature", "code_iri", "label"
+    )
+
+
+def code_label_table(spark) -> DataFrame:
+    """Static ontology label dimension (stand-in for the reference's
+    ontology_v3.3 skos:prefLabel concepts), deterministic."""
+    rows = [
+        (vocab.GN + "A.PCLI", "independent political entity"),
+        (vocab.GN + "A.ADM1", "first-order administrative division"),
+        (vocab.GN + "A.ADM2", "second-order administrative division"),
+        (vocab.GN + "A.ADM3", "third-order administrative division"),
+        (vocab.GN + "A.ADM4", "fourth-order administrative division"),
+        (vocab.GN + "P.PPL", "populated place"),
+        (vocab.GN + "S.MUS", "museum"),
+    ]
+    return spark.createDataFrame(rows, ["code_iri", "label"])
