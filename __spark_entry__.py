@@ -122,8 +122,31 @@ def _q_c12(spark, sf_dir):
     )
 
 
+# --- web-scale KG pipeline (north star; AC-UDF stages => rows-only checks) -
+
+def _q_pipe_mentions(spark, sf_dir):
+    from geonames_rdf_spark.pipeline import materialize
+
+    return materialize.run_pipeline(spark, sf_dir, n_pages=500)["mentions"]
+
+
+def _q_pipe_linked(spark, sf_dir):
+    from geonames_rdf_spark.pipeline import materialize
+
+    return materialize.run_pipeline(spark, sf_dir, n_pages=500)["linked"]
+
+
+def _q_pipe_triples(spark, sf_dir):
+    from geonames_rdf_spark.pipeline import materialize
+
+    return materialize.run_pipeline(spark, sf_dir, n_pages=500)["triples"]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "pipeline_mentions": _q_pipe_mentions,
+        "pipeline_linked": _q_pipe_linked,
+        "pipeline_kg_triples": _q_pipe_triples,
         "c1_scan_limit": _q_c1,
         "c2_population_topk": _q_c2,
         "c3_municipalities": _q_c3,

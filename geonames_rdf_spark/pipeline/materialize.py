@@ -1,0 +1,92 @@
+"""Pipeline assembly + N-Triples materialization (stages S6-S7).
+
+``run_pipeline`` wires extract -> mention-detect -> link -> canonicalize
+-> materialize into one lazy plan.  Output triples = the gazetteer feature
+triples (places/altnames mappings — the reference-parity set) UNION page
+mention edges ``?page gn:locatedIn ?feature`` with provenance, partitioned
+by url-hash buckets for the lineage/resume layer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from geonames_rdf_spark import vocab
+from geonames_rdf_spark.functions.terms import feature_uri, nt_term
+from geonames_rdf_spark.operators import build
+from geonames_rdf_spark.pipeline import corpus, extract, link, mentions
+
+GN_LOCATED_IN = vocab.GN + "locatedIn"
+N_BUCKETS = 32
+
+
+def with_bucket(pages: DataFrame, n_buckets: int = N_BUCKETS) -> DataFrame:
+    """url-hash partitioning key (north_rule: partitioned by url-hash)."""
+    return pages.withColumn("bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)))
+
+
+def mention_triples(linked: DataFrame) -> DataFrame:
+    """(page url) gn:locatedIn (feature uri) — deduplicated per page."""
+    return (
+        linked.select(
+            F.col("url").alias("subj"),
+            F.lit(GN_LOCATED_IN).alias("pred"),
+            feature_uri(F.col("geonameid")).alias("obj"),
+        )
+        .dropDuplicates(["subj", "pred", "obj"])
+        .withColumn("obj_is_iri", F.lit(True))
+        .withColumn("obj_lang", F.lit(None).cast("string"))
+        .withColumn("obj_dt", F.lit(None).cast("string"))
+    )
+
+
+def run_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    n_pages: int = 1000,
+    include_feature_triples: bool = True,
+) -> dict[str, DataFrame]:
+    """Full web-scale KG construction over a synthesized corpus."""
+    tables = build.gazetteer_tables(spark, sf_dir)
+    features = tables["features"]
+
+    surfaces = corpus.gazetteer_surfaces(features)
+    pages = corpus.synthesize_pages(spark, surfaces, n_pages)
+    # S1: recompute text from html (byte-identity invariant)
+    pages = extract.with_extracted_text(pages.drop("text").withColumn(
+        "text", F.lit(None).cast("string")))
+    # S3: broadcast Aho-Corasick mention detection + candidates
+    smap = mentions.build_surface_map(features)
+    ment = mentions.detect_mentions(pages, smap)
+    # S4: link scoring + per-mention argmax
+    linked = link.link_mentions(ment, features, pages=pages)
+    # S6: triples
+    mt = mention_triples(linked)
+    out = mt
+    if include_feature_triples:
+        out = build.build_kg(spark, sf_dir).unionByName(mt)
+    return {
+        "pages": pages,
+        "mentions": ment,
+        "linked": linked,
+        "triples": out,
+    }
+
+
+def to_ntriples(triples: DataFrame) -> DataFrame:
+    """Render canonical N-Triples lines (the text sink format, A6/A8)."""
+    return triples.select(
+        F.concat_ws(
+            " ",
+            F.concat(F.lit("<"), F.col("subj"), F.lit(">")),
+            F.concat(F.lit("<"), F.col("pred"), F.lit(">")),
+            nt_term(F.col("obj"), F.col("obj_is_iri"),
+                    F.col("obj_lang"), F.col("obj_dt")),
+            F.lit("."),
+        ).alias("line")
+    )
+
+
+def write_ntriples(triples: DataFrame, path: str, mode: str = "overwrite") -> None:
+    to_ntriples(triples).write.mode(mode).text(path)

@@ -1,0 +1,134 @@
+"""Web-scale KG-construction pipeline tests (north-star stages S1-S7)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from geonames_rdf_spark.operators import build, skew
+from geonames_rdf_spark.pipeline import (
+    canonicalize, corpus, extract, lineage, link, materialize, mentions,
+)
+from geonames_rdf_spark.pipeline.ahocorasick import AhoCorasick
+from tests.conftest import SF
+
+
+@pytest.fixture(scope="module")
+def result(spark):
+    r = materialize.run_pipeline(spark, SF, n_pages=300)
+    r["pages"] = r["pages"].cache()
+    r["linked"] = r["linked"].cache()
+    return r
+
+
+def test_extraction_byte_identity(spark):
+    """input_hint invariant: extracted text byte-identical per url."""
+    tables = build.gazetteer_tables(spark, SF)
+    surfaces = corpus.gazetteer_surfaces(tables["features"])
+    pages = corpus.synthesize_pages(spark, surfaces, 100)
+    re_extracted = pages.withColumn("text2", extract.extract_text(F.col("html")))
+    bad = re_extracted.filter(
+        F.col("text").cast("binary") != F.col("text2").cast("binary")
+    )
+    assert bad.count() == 0
+
+
+def test_extraction_determinism():
+    html = b"<html><head><title>T</title></head><body><p>A &amp; B</p></body></html>"
+    assert extract.extract_text_py(html) == "A & B"
+    assert extract.extract_text_py(html) == extract.extract_text_py(html)
+
+
+def test_ahocorasick_matches_and_boundaries():
+    ac = AhoCorasick({"Paris": [1], "Paris Plage": [2], "London": [3]})
+    hits = ac.scan("From Paris Plage to London, not Parisian.")
+    got = {(s, p) for s, p, _ in hits}
+    assert (5, "Paris") in got          # prefix of longer match, boundary ok
+    assert (5, "Paris Plage") in got
+    assert (20, "London") in got
+    assert not any(p == "Paris" and s == 32 for s, p, _ in hits)  # 'Parisian'
+
+
+def test_mentions_skew_head(result):
+    """Hot surfaces must dominate (Zipf head) — the skew scenario exists."""
+    counts = (
+        result["mentions"].groupBy("surface").count()
+        .orderBy(F.desc("count")).collect()
+    )
+    assert counts[0]["count"] > 5 * counts[len(counts) // 2]["count"]
+
+
+def test_linking_deterministic_argmax(result):
+    linked = result["linked"]
+    # exactly one winner per (url, begin)
+    dups = linked.groupBy("url", "begin").count().filter("count > 1")
+    assert dups.count() == 0
+    # ambiguous surfaces resolved to max-score, min-id
+    two = materialize.run_pipeline(linked.sparkSession, SF, n_pages=300)["linked"]
+    assert linked.exceptAll(two).count() == 0 and two.exceptAll(linked).count() == 0
+
+
+def test_salted_join_equivalence(spark):
+    big = spark.range(1000).select(
+        (F.col("id") % 7).cast("string").alias("k"), F.col("id").alias("v")
+    )
+    small = spark.createDataFrame(
+        [(str(i), f"dim{i}") for i in range(7)], ["k", "name"]
+    )
+    plain = big.join(small, "k").select("k", "v", "name")
+    salted = skew.salted_join(big, small, "k", salt_buckets=4).select("k", "v", "name")
+    assert plain.exceptAll(salted).count() == 0
+    assert salted.exceptAll(plain).count() == 0
+
+
+def test_canonicalize_rewrites_links(spark):
+    edges = spark.createDataFrame([(1, 5), (5, 9), (20, 21)], ["a", "b"])
+    mapping = canonicalize.canonical_map(edges)
+    got = {r["geonameid"]: r["canonical"] for r in mapping.collect()}
+    assert got[1] == got[5] == got[9] == 1
+    assert got[20] == got[21] == 20
+    linked = spark.createDataFrame(
+        [("u1", "x", 0, 1, 9, 1.0), ("u2", "x", 0, 1, 3, 1.0)],
+        ["url", "surface", "begin", "end", "geonameid", "score"],
+    )
+    rw = canonicalize.rewrite_links(linked, mapping)
+    vals = {r["url"]: r["geonameid"] for r in rw.collect()}
+    assert vals["u1"] == 1       # 9 -> canonical 1
+    assert vals["u2"] == 3       # unmapped id untouched
+
+
+def test_lineage_resume_exact(spark, tmp_path):
+    """Kill after k buckets, resume, final triple set == one-shot run."""
+    tables = build.gazetteer_tables(spark, SF)
+    surfaces = corpus.gazetteer_surfaces(tables["features"])
+    pages = corpus.synthesize_pages(spark, surfaces, 120)
+    smap = mentions.build_surface_map(tables["features"])
+
+    def triples_for(subset):
+        m = mentions.detect_mentions(subset, smap)
+        linked = link.link_mentions(m, tables["features"])
+        return materialize.mention_triples(linked)
+
+    out1 = str(tmp_path / "oneshot")
+    lineage.run_with_lineage(spark, pages, triples_for, out1, n_buckets=4)
+
+    out2 = str(tmp_path / "resumed")
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        lineage.run_with_lineage(spark, pages, triples_for, out2,
+                                 n_buckets=4, fail_after=2)
+    assert len(lineage.done_buckets(spark, out2)) == 2
+    lineage.run_with_lineage(spark, pages, triples_for, out2, n_buckets=4)
+
+    a = lineage.read_triples(spark, out1)
+    b = lineage.read_triples(spark, out2)
+    assert a.count() > 0
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_ntriples_sink_roundtrip(spark, tmp_path, result):
+    path = str(tmp_path / "nt")
+    t = result["triples"].limit(500)
+    materialize.write_ntriples(t, path)
+    lines = spark.read.text(path)
+    assert lines.count() == 500
+    assert lines.filter(~F.col("value").rlike(r"^<[^>]+> <[^>]+> .+ \.$")).count() == 0
