@@ -142,8 +142,112 @@ def _q_pipe_triples(spark, sf_dir):
     return materialize.run_pipeline(spark, sf_dir, n_pages=500)["triples"]
 
 
+# --- training-data-pipeline operators (dedup / similarity / text) ---------
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _q_token_count(spark, sf_dir):
+    from geonames_rdf_spark.operators.textstats import token_count
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+
+
+def _q_quality(spark, sf_dir):
+    from geonames_rdf_spark.operators import textstats
+
+    return textstats.quality_features(_docs(spark, sf_dir))
+
+
+def _q_langid(spark, sf_dir):
+    from geonames_rdf_spark.operators import textstats
+
+    return textstats.lang_id(_docs(spark, sf_dir))
+
+
+def _q_fingerprint(spark, sf_dir):
+    from geonames_rdf_spark.operators import textstats
+
+    return textstats.fingerprint(_docs(spark, sf_dir))
+
+
+def _docs_with_dups(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    dups = d.filter(F.col("doc_id") % 3 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    return d.unionByName(dups)
+
+
+def _q_dedup_exact(spark, sf_dir):
+    from geonames_rdf_spark.operators import dedup
+
+    return dedup.exact_dedup(_docs_with_dups(spark, sf_dir))
+
+
+def _q_ann_topk(spark, sf_dir):
+    from geonames_rdf_spark.operators import similarity
+
+    e = _emb(spark, sf_dir)
+    q = e.filter("vec_id = 0").select("embedding").first()["embedding"]
+    return similarity.cosine_topk(e, [float(x) for x in q], k=10)
+
+
+def _q_knn_label(spark, sf_dir):
+    from geonames_rdf_spark.operators import similarity
+
+    return similarity.pairwise_topk_per_label(_emb(spark, sf_dir), k=3)
+
+
+def _q_minhash(spark, sf_dir):
+    from geonames_rdf_spark.operators import dedup
+
+    near = _docs(spark, sf_dir).withColumn(
+        "doc_id", F.col("doc_id") + 2000000
+    ).withColumn("text", F.concat(F.col("text"), F.lit(" trailing token")))
+    return dedup.minhash_near_dups(
+        _docs(spark, sf_dir).unionByName(near), threshold=0.5
+    )
+
+
+def _q_simhash(spark, sf_dir):
+    from geonames_rdf_spark.operators import dedup
+
+    near = _docs(spark, sf_dir).withColumn(
+        "doc_id", F.col("doc_id") + 2000000
+    ).withColumn("text", F.concat(F.col("text"), F.lit(" x")))
+    return dedup.simhash_near_dups(
+        _docs(spark, sf_dir).unionByName(near), max_hamming=3
+    )
+
+
+def _q_emb_neardup(spark, sf_dir):
+    from geonames_rdf_spark.operators import dedup
+
+    e = _emb(spark, sf_dir)
+    copy = e.withColumn("vec_id", F.col("vec_id") + 1000000)
+    return dedup.embedding_near_dups(e.unionByName(copy), threshold=0.99)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "text_token_count": _q_token_count,
+        "text_quality_features": _q_quality,
+        "text_lang_id": _q_langid,
+        "text_fingerprint": _q_fingerprint,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash_lsh": _q_minhash,
+        "dedup_simhash": _q_simhash,
+        "dedup_embedding_cosine": _q_emb_neardup,
+        "ann_cosine_topk": _q_ann_topk,
+        "ann_knn_per_label": _q_knn_label,
         "pipeline_mentions": _q_pipe_mentions,
         "pipeline_linked": _q_pipe_linked,
         "pipeline_kg_triples": _q_pipe_triples,
@@ -173,6 +277,7 @@ def oracle_sql() -> dict[str, str]:
     p = oracle.kg_prefix()
     return {
         **oracle.workload_sql(),
+        **oracle.tdp_sql(),
         "gaz_best_names": (
             p + "\nSELECT geonameid, bestNameCandidate FROM best"
         ),

@@ -1,0 +1,246 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact dedup is a hash-groupBy (fully oracle-checkable); near-dup detection
+ships three scale-path families — MinHash+LSH, SimHash, and n-gram
+Jaccard verification — with all hashing derived from md5 (no Python
+``hash()``: that is salted per process and would break determinism across
+executors).  Signatures are computed in Arrow-batched pandas UDFs; the
+candidate generation is a band-bucket self-join (shuffle keyed by band
+hash, quadratic only within buckets), never an all-pairs cross join.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+M64 = (1 << 64) - 1
+MERSENNE = (1 << 61) - 1
+
+
+def _h64(s: str) -> int:
+    return struct.unpack("<Q", hashlib.md5(s.encode("utf-8")).digest()[:8])[0]
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """(text_hash, keep_id, n_dups): one row per distinct text; keep_id =
+    min id (deterministic survivor), n_dups = cluster size."""
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def _shingles(text: str, k: int) -> set[str]:
+    toks = text.split()
+    if len(toks) < k:
+        return {" ".join(toks)} if toks else set()
+    return {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
+
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", k: int = 3,
+                       n_hashes: int = 64) -> DataFrame:
+    """(id, sig array<long>) — MinHash over word k-shingles.
+
+    Universal-hash family a*x+b mod p with (a, b) derived from md5 of the
+    seed index — identical on every executor, every run.
+    """
+    params = [
+        (1 | _h64(f"minhash-a-{i}") % MERSENNE, _h64(f"minhash-b-{i}") % MERSENNE)
+        for i in range(n_hashes)
+    ]
+
+    def sig(batches):
+        for pdf in batches:
+            out_ids, sigs = [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                sh = _shingles(text or "", k)
+                base = [_h64(s) % MERSENNE for s in sh] or [0]
+                sigs.append(
+                    [min((a * x + b) % MERSENNE for x in base) for a, b in params]
+                )
+                out_ids.append(did)
+            yield pd.DataFrame({"id": out_ids, "sig": sigs})
+
+    return docs.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        sig, schema="id bigint, sig array<bigint>"
+    )
+
+
+def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16) -> DataFrame:
+    """Band the signatures, bucket-join, emit candidate (id_a < id_b) pairs.
+
+    One shuffle keyed by (band, bucket-hash); hot buckets are bounded by
+    band width, and the join is within-bucket only — the LSH trick that
+    makes near-dup detection linear-ish at corpus scale.
+    """
+    n_hashes = len(sigs.select("sig").first()["sig"])
+    rows_per_band = n_hashes // bands
+    banded = sigs.select(
+        "id",
+        F.posexplode(
+            F.array(*[
+                F.xxhash64(F.concat_ws(
+                    ",", *[F.col("sig")[b * rows_per_band + r].cast("string")
+                           for r in range(rows_per_band)]
+                ))
+                for b in range(bands)
+            ])
+        ).alias("band", "bucket"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_similarity(sigs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Estimated Jaccard = fraction of agreeing signature positions."""
+    sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    agree = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                 lambda v: v)
+    )
+    return (
+        pairs.join(sa, "id_a").join(sb, "id_b")
+        .select(
+            "id_a", "id_b",
+            F.round(agree / F.size("sig_a"), 4).alias("est_jaccard"),
+        )
+    )
+
+
+def minhash_near_dups(docs: DataFrame, threshold: float = 0.6,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      k: int = 3, n_hashes: int = 64,
+                      bands: int = 16) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline: (id_a, id_b, est_jaccard)."""
+    sigs = minhash_signatures(docs, text_col, id_col, k, n_hashes)
+    pairs = lsh_candidate_pairs(sigs, bands)
+    return minhash_similarity(sigs, pairs).filter(
+        F.col("est_jaccard") >= threshold
+    )
+
+
+def simhash_signatures(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", bits: int = 64) -> DataFrame:
+    """(id, simhash bigint) — sign-sum of md5 word hashes."""
+
+    def sig(batches):
+        for pdf in batches:
+            ids, out = [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                acc = [0] * bits
+                for tok in (text or "").split():
+                    h = _h64(tok)
+                    for i in range(bits):
+                        acc[i] += 1 if (h >> i) & 1 else -1
+                v = 0
+                for i in range(bits):
+                    if acc[i] > 0:
+                        v |= 1 << i
+                # store as signed 64-bit
+                if v >= 1 << 63:
+                    v -= 1 << 64
+                ids.append(did)
+                out.append(v)
+            yield pd.DataFrame({"id": ids, "simhash": out})
+
+    return docs.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        sig, schema="id bigint, simhash bigint"
+    )
+
+
+def simhash_near_dups(docs: DataFrame, max_hamming: int = 3,
+                      text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Near-dups by SimHash: candidates share one of 4 16-bit chunks
+    (pigeonhole: hamming<=3 over 64 bits => some chunk identical), then
+    exact popcount filter.  (id_a, id_b, hamming)."""
+    sigs = simhash_signatures(docs, text_col, id_col)
+    chunks = sigs.select(
+        "id", "simhash",
+        F.posexplode(F.array(*[
+            F.shiftrightunsigned(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF))
+            for i in range(4)
+        ])).alias("chunk_idx", "chunk"),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(b, ["chunk_idx", "chunk"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("a.simhash").alias("sh_a"),
+                F.col("b.id").alias("id_b"), F.col("b.simhash").alias("sh_b"))
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def ngram_jaccard(docs: DataFrame, pairs: DataFrame, k: int = 3,
+                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact word-k-gram Jaccard for candidate pairs (verification stage).
+
+    Texts join to the (small) candidate pair set; the set intersection
+    runs in an Arrow batch.  (id_a, id_b, jaccard)."""
+    t = docs.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
+    joined = (
+        pairs.join(t.withColumnRenamed("_id", "id_a")
+                     .withColumnRenamed("_text", "text_a"), "id_a")
+        .join(t.withColumnRenamed("_id", "id_b")
+               .withColumnRenamed("_text", "text_b"), "id_b")
+    )
+
+    def jac(batches):
+        for pdf in batches:
+            vals = []
+            for ta, tb in zip(pdf["text_a"], pdf["text_b"]):
+                sa, sb = _shingles(ta or "", k), _shingles(tb or "", k)
+                u = len(sa | sb)
+                vals.append(round(len(sa & sb) / u, 4) if u else 1.0)
+            yield pdf[["id_a", "id_b"]].assign(jaccard=vals)
+
+    return joined.mapInPandas(
+        jac, schema="id_a bigint, id_b bigint, jaccard double"
+    )
+
+
+def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95,
+                        vec_col: str = "embedding",
+                        id_col: str = "vec_id",
+                        planes: int = 16) -> DataFrame:
+    """Embedding-cosine near-dup via hyperplane-LSH candidates + exact
+    cosine verify.  (id_a, id_b, cosine)."""
+    from geonames_rdf_spark.operators.similarity import cosine_expr, lsh_bucket
+
+    sig = embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    cand = (
+        a.join(b, "bucket")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("a.v").alias("va"),
+                F.col("b.id").alias("id_b"), F.col("b.v").alias("vb"))
+    )
+    return (
+        cand.withColumn("cosine", F.round(cosine_expr(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

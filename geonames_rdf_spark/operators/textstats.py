@@ -1,0 +1,94 @@
+"""Text-analysis operators for training-data pipelines.
+
+All pure Column expressions (JVM-side, codegen'd — no Python in the hot
+path): token counting, quality scoring, n-gram-heuristic language ID, and
+document fingerprinting.  Each has a DuckDB oracle twin (oracle.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword heads for the n-gram heuristic
+LANG_MARKERS = {
+    "en": [" the ", " and ", " of "],
+    "de": [" der ", " und ", " die "],
+    "fr": [" le ", " et ", " les "],
+    "es": [" el ", " y ", " los "],
+}
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count, 0 for empty/NULL-ish text."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    )
+
+
+def _occurrences(text: Column, needle: str) -> Column:
+    """Count of non-overlapping occurrences via the length-difference trick
+    (stays in codegen; no UDF)."""
+    return (
+        (F.length(text) - F.length(F.regexp_replace(text, F.lit(needle).cast("string"), F.lit(""))))
+        / F.lit(len(needle))
+    ).cast("int")
+
+
+def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality signals: length, token count, mean token
+    length, punctuation/digit/uppercase ratios, stopword ratio."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_tok = token_count(t)
+    strip = lambda pat: F.length(t) - F.length(F.regexp_replace(t, pat, ""))  # noqa: E731
+    stop_hits = sum(
+        (_occurrences(F.concat(F.lit(" "), t, F.lit(" ")), w) for w in LANG_MARKERS["en"]),
+        F.lit(0),
+    )
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        F.round(n_chars / F.greatest(n_tok, F.lit(1)), 4).alias("mean_token_len"),
+        F.round(strip(r"[^\p{L}\p{N}\s]") / F.greatest(n_chars, F.lit(1)), 4).alias("punct_ratio"),
+        F.round(strip(r"[^0-9]") / F.greatest(n_chars, F.lit(1)), 4).alias("digit_ratio"),
+        F.round(strip(r"[^A-Z]") / F.greatest(n_chars, F.lit(1)), 4).alias("upper_ratio"),
+        F.round(stop_hits / F.greatest(n_tok, F.lit(1)), 4).alias("stopword_ratio"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scalar [0,1] quality score from the feature mix (heuristic weights)."""
+    q = quality_features(docs, text_col)
+    score = (
+        F.least(F.col("n_tokens") / F.lit(50.0), F.lit(1.0)) * 0.4
+        + (1 - F.least(F.col("punct_ratio") * 5, F.lit(1.0))) * 0.2
+        + (1 - F.least(F.col("digit_ratio") * 5, F.lit(1.0))) * 0.2
+        + F.least(F.col("stopword_ratio") * 10, F.lit(1.0)) * 0.2
+    )
+    return q.select("doc_id", F.round(score, 4).alias("quality"))
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-n-gram language ID: argmax of per-language marker hits,
+    'und' (undetermined) when no marker fires.  Deterministic tie-break
+    by language code order."""
+    t = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
+    scores = {
+        lang: sum((_occurrences(t, w) for w in ws), F.lit(0))
+        for lang, ws in LANG_MARKERS.items()
+    }
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    for lang in sorted(LANG_MARKERS, reverse=True):  # reversed fold => earliest wins ties
+        expr = F.when((scores[lang] > 0) & (scores[lang] == best), F.lit(lang)).otherwise(expr)
+    return docs.select("doc_id", expr.alias("lang_pred"), best.alias("marker_hits"))
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Canonical-form document fingerprint: md5 of the lower-cased,
+    whitespace-collapsed text (stable across cosmetic edits)."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return docs.select("doc_id", F.md5(norm).alias("fingerprint"))

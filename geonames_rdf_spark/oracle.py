@@ -514,3 +514,112 @@ WHERE pred = '{gn}featureCode'
 """
         ),
     }
+
+
+# --- training-data-pipeline oracles (text / dedup / similarity) ------------
+
+_MARKERS = {
+    "en": [" the ", " and ", " of "],
+    "de": [" der ", " und ", " die "],
+    "fr": [" le ", " et ", " les "],
+    "es": [" el ", " y ", " los "],
+}
+
+
+def _occ(expr: str, needle: str) -> str:
+    n = needle.replace("'", "''")
+    return (f"CAST((length({expr}) - length(replace({expr}, '{n}', '')))"
+            f" / {len(needle)} AS INT)")
+
+
+def tdp_sql() -> dict[str, str]:
+    """DuckDB twins for the oracle-checkable training-data operators."""
+    tok = ("CASE WHEN length(trim(text)) = 0 THEN 0 "
+           "ELSE len(string_split_regex(trim(text), '\\s+')) END")
+    strip = lambda pat: (  # noqa: E731
+        f"length(text) - length(regexp_replace(text, '{pat}', '', 'g'))"
+    )
+    stop_hits = " + ".join(
+        _occ("(' ' || text || ' ')", w) for w in _MARKERS["en"]
+    )
+    strip_punct = strip(r"[^\p{L}\p{N}\s]")
+    strip_digit = strip("[^0-9]")
+    strip_upper = strip("[^A-Z]")
+    quality_features = f"""
+SELECT doc_id,
+  length(text) AS n_chars,
+  {tok} AS n_tokens,
+  round(length(text) / greatest({tok}, 1), 4) AS mean_token_len,
+  round(({strip_punct}) / greatest(length(text), 1), 4) AS punct_ratio,
+  round(({strip_digit}) / greatest(length(text), 1), 4) AS digit_ratio,
+  round(({strip_upper}) / greatest(length(text), 1), 4) AS upper_ratio,
+  round(({stop_hits}) / greatest({tok}, 1), 4) AS stopword_ratio
+FROM documents
+"""
+    lang_scores = {
+        lang: " + ".join(
+            _occ("(' ' || lower(text) || ' ')", w) for w in ws
+        )
+        for lang, ws in _MARKERS.items()
+    }
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in _MARKERS) + ")"
+    lang_case = "'und'"
+    for lang in sorted(_MARKERS, reverse=True):
+        lang_case = (f"CASE WHEN s_{lang} > 0 AND s_{lang} = {best} "
+                     f"THEN '{lang}' ELSE {lang_case} END")
+    lang_id = f"""
+SELECT doc_id, {lang_case} AS lang_pred, {best} AS marker_hits
+FROM (
+  SELECT doc_id,
+    {", ".join(f"({expr}) AS s_{lang}" for lang, expr in lang_scores.items())}
+  FROM documents
+)
+"""
+    dedup_exact = """
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 3 = 0
+)
+SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+FROM all_docs GROUP BY md5(text)
+"""
+    cosine = ("round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+              "q.qv), 6)")
+    ann_topk = f"""
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+)
+SELECT e.vec_id, {cosine} AS cosine
+FROM embeddings e CROSS JOIN q
+ORDER BY cosine DESC, e.vec_id ASC
+LIMIT 10
+"""
+    knn_label = """
+SELECT id_a, id_b, cosine, rn FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])), 6) AS cosine,
+    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                       ORDER BY round(list_cosine_similarity(
+                         CAST(a.embedding AS DOUBLE[]),
+                         CAST(b.embedding AS DOUBLE[])), 6) DESC,
+                       b.vec_id ASC) AS rn
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id <> b.vec_id
+) WHERE rn <= 3
+"""
+    return {
+        "text_token_count": (
+            f"SELECT doc_id, {tok} AS n_tokens FROM documents"
+        ),
+        "text_quality_features": quality_features,
+        "text_lang_id": lang_id,
+        "text_fingerprint": (
+            "SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+            " AS fingerprint FROM documents"
+        ),
+        "dedup_exact": dedup_exact,
+        "ann_cosine_topk": ann_topk,
+        "ann_knn_per_label": knn_label,
+    }

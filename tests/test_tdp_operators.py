@@ -1,0 +1,135 @@
+"""Training-data-pipeline operators: dedup, similarity, text, multimodal."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from geonames_rdf_spark.operators import dedup, multimodal, similarity, textstats
+from tests.conftest import SF, assert_df_parity
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_exact_dedup_finds_injected_dups(docs):
+    dups = docs.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 10000
+    )
+    out = dedup.exact_dedup(docs.unionByName(dups))
+    n_orig = docs.count()
+    clusters = out.filter("n_dups > 1")
+    assert out.count() == n_orig  # one row per distinct text
+    assert clusters.count() == docs.filter("doc_id % 5 = 0").count()
+    # survivor is always the original (min id)
+    assert clusters.filter("keep_id >= 10000").count() == 0
+
+
+def test_minhash_lsh_near_dups(docs):
+    sample = docs.limit(40)
+    near = sample.withColumn("doc_id", F.col("doc_id") + 10000).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" tiny suffix change"))
+    )
+    out = dedup.minhash_near_dups(sample.unionByName(near), threshold=0.5)
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    found = sum(1 for r in sample.collect() if (r["doc_id"], r["doc_id"] + 10000) in pairs)
+    assert found >= 36  # high recall on the injected near-dups
+    est = dict(((r["id_a"], r["id_b"]), r["est_jaccard"]) for r in out.collect())
+    assert all(0.0 <= v <= 1.0 for v in est.values())
+
+
+def test_minhash_deterministic(docs):
+    s = docs.limit(20)
+    a = dedup.minhash_signatures(s).collect()
+    b = dedup.minhash_signatures(s).collect()
+    assert {r["id"]: r["sig"] for r in a} == {r["id"]: r["sig"] for r in b}
+
+
+def test_simhash_near_dups(docs):
+    sample = docs.limit(40)
+    near = sample.withColumn("doc_id", F.col("doc_id") + 10000).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" x"))
+    )
+    out = dedup.simhash_near_dups(sample.unionByName(near), max_hamming=6)
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    found = sum(1 for r in sample.collect() if (r["doc_id"], r["doc_id"] + 10000) in pairs)
+    assert found >= 30
+
+
+def test_ngram_jaccard_verification(spark):
+    d = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "a b c d e f g x"), (3, "q r s t u v w z")],
+        ["doc_id", "text"],
+    )
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], ["id_a", "id_b"])
+    out = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in dedup.ngram_jaccard(d, pairs, k=2).collect()}
+    assert out[(1, 2)] > 0.7      # one token changed
+    assert out[(1, 3)] == 0.0     # disjoint
+
+
+def test_cosine_topk_self_first(emb):
+    q = emb.filter("vec_id = 7").first()["embedding"]
+    top = similarity.cosine_topk(emb, [float(x) for x in q], k=5).collect()
+    assert top[0]["vec_id"] == 7 and abs(top[0]["cosine"] - 1.0) < 1e-5
+    cos = [r["cosine"] for r in top]
+    assert cos == sorted(cos, reverse=True)
+
+
+def test_ann_lsh_recall(emb):
+    q = [float(x) for x in emb.filter("vec_id = 3").first()["embedding"]]
+    exact = {r["vec_id"] for r in similarity.cosine_topk(emb, q, k=5).collect()}
+    approx = {r["vec_id"]
+              for r in similarity.ann_lsh_topk(emb, q, k=5, planes=8,
+                                               probe_hamming=3).collect()}
+    assert 3 in approx  # the query vector itself always survives bucketing
+    # random 64-d vectors are near-orthogonal (cosine~0.3 => expected
+    # hamming ~3.2/8 planes), so demand only partial recall here; the
+    # exact-copy case (test_embedding_near_dup_exact_copies) pins recall=1
+    assert len(exact & approx) >= 1
+
+
+def test_embedding_near_dup_exact_copies(emb):
+    copy = emb.withColumn("vec_id", F.col("vec_id") + 100000)
+    out = dedup.embedding_near_dups(emb.unionByName(copy), threshold=0.999)
+    n = emb.count()
+    hits = out.filter(F.col("id_b") == F.col("id_a") + 100000)
+    assert hits.count() == n  # every copy found in the same LSH bucket
+
+
+def test_quality_and_langid(docs, duck):
+    q = textstats.quality_features(docs)
+    row = q.first()
+    assert row["n_tokens"] > 0 and 0 <= row["punct_ratio"] <= 1
+    lid = textstats.lang_id(docs)
+    assert lid.filter(F.col("lang_pred") == "en").count() > 0
+    score = textstats.quality_score(docs)
+    assert score.filter((F.col("quality") < 0) | (F.col("quality") > 1)).count() == 0
+
+
+def test_multimodal_plumbing(spark):
+    media = multimodal.synth_media(spark, 30)
+    feats = multimodal.extract_features(media, fake=True)
+    rows = feats.collect()
+    assert len(rows) == 30
+    assert all(len(r["feature"]) == multimodal.FEATURE_DIM for r in rows)
+    # deterministic across runs
+    again = multimodal.extract_features(media, fake=True).collect()
+    assert {r["media_id"]: r["feature"] for r in rows} == {
+        r["media_id"]: r["feature"] for r in again
+    }
+    # real mode is an explicit stub
+    with pytest.raises(Exception, match="NotImplementedError|decode"):
+        multimodal.extract_features(media, fake=False).collect()
+    rp = multimodal.resize_plan(media, max_px=100)
+    bad = rp.filter((F.col("dst_width") > 100) | (F.col("dst_height") > 100))
+    assert bad.count() == 0
+    fs = multimodal.frame_sample_plan(media, every_ms=400)
+    assert fs.count() > 0
