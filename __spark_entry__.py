@@ -236,8 +236,35 @@ def _q_emb_neardup(spark, sf_dir):
     return dedup.embedding_near_dups(e.unionByName(copy), threshold=0.99)
 
 
+# --- streaming layer (batch twins oracle-checked; stream tested in pytest) -
+
+def _events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _q_events_windowed(spark, sf_dir):
+    from geonames_rdf_spark.streaming import events as ev
+
+    return ev.windowed_event_stats(_events(spark, sf_dir))
+
+
+def _q_events_sessionize(spark, sf_dir):
+    from geonames_rdf_spark.streaming import events as ev
+
+    return ev.sessionize(_events(spark, sf_dir))
+
+
+def _q_events_approx(spark, sf_dir):
+    from geonames_rdf_spark.streaming import events as ev
+
+    return ev.approx_event_stats(_events(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "events_windowed_stats": _q_events_windowed,
+        "events_sessionize": _q_events_sessionize,
+        "events_approx_stats": _q_events_approx,
         "text_token_count": _q_token_count,
         "text_quality_features": _q_quality,
         "text_lang_id": _q_langid,
@@ -278,6 +305,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         **oracle.workload_sql(),
         **oracle.tdp_sql(),
+        **oracle.streaming_sql(),
         "gaz_best_names": (
             p + "\nSELECT geonameid, bestNameCandidate FROM best"
         ),

@@ -55,9 +55,9 @@ def build_kg(
     wide = places.feature_entities(
         t["features"], t["country_codes"], t["admin_lookups"], t["hierarchy"]
     )
-    out = places.melt_feature_triples(wide, consolidate=consolidate)
-    if include_docs:
-        out = out.unionByName(places.document_triples(wide))
+    out = places.melt_feature_triples(
+        wide, consolidate=consolidate, include_docs=include_docs
+    )
     if include_alt:
         out = out.unionByName(altnames.alt_name_triples(t["alt_names"]))
     if include_ags:

@@ -19,7 +19,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 M64 = (1 << 64) - 1
-MERSENNE = (1 << 61) - 1
+# 2^31-1: keeps a*x inside uint64 for the numpy-vectorized hash family
+MERSENNE = (1 << 31) - 1
 
 
 def _h64(s: str) -> int:
@@ -58,14 +59,22 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
     ]
 
     def sig(batches):
+        import numpy as np
+
+        A = np.array([p[0] for p in params], dtype=np.uint64)[:, None]
+        B = np.array([p[1] for p in params], dtype=np.uint64)[:, None]
+        P = np.uint64(MERSENNE)
         for pdf in batches:
             out_ids, sigs = [], []
             for did, text in zip(pdf[id_col], pdf[text_col]):
                 sh = _shingles(text or "", k)
-                base = [_h64(s) % MERSENNE for s in sh] or [0]
-                sigs.append(
-                    [min((a * x + b) % MERSENNE for x in base) for a, b in params]
-                )
+                base = np.fromiter(
+                    ((_h64(s) % MERSENNE) for s in sh), dtype=np.uint64,
+                    count=len(sh),
+                ) if sh else np.zeros(1, dtype=np.uint64)
+                # (a*x + b) mod p, vectorized over (n_hashes, n_shingles);
+                # a, x < 2^31 so a*x fits in uint64
+                sigs.append(((A * base + B) % P).min(axis=1).astype("int64").tolist())
                 out_ids.append(did)
             yield pd.DataFrame({"id": out_ids, "sig": sigs})
 
@@ -139,20 +148,22 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text",
     """(id, simhash bigint) — sign-sum of md5 word hashes."""
 
     def sig(batches):
+        import numpy as np
+
+        shifts = np.arange(bits, dtype=np.uint64)
         for pdf in batches:
             ids, out = [], []
             for did, text in zip(pdf[id_col], pdf[text_col]):
-                acc = [0] * bits
-                for tok in (text or "").split():
-                    h = _h64(tok)
-                    for i in range(bits):
-                        acc[i] += 1 if (h >> i) & 1 else -1
-                v = 0
-                for i in range(bits):
-                    if acc[i] > 0:
-                        v |= 1 << i
-                # store as signed 64-bit
-                if v >= 1 << 63:
+                toks = (text or "").split()
+                if toks:
+                    H = np.fromiter((_h64(t) for t in toks), dtype=np.uint64,
+                                    count=len(toks))
+                    bitmat = (H[:, None] >> shifts) & np.uint64(1)
+                    acc = (2 * bitmat.astype(np.int64) - 1).sum(axis=0)
+                else:
+                    acc = np.full(bits, -1, dtype=np.int64)
+                v = int(((acc > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64))
+                if v >= 1 << 63:  # store as signed 64-bit
                     v -= 1 << 64
                 ids.append(did)
                 out.append(v)

@@ -44,9 +44,15 @@ TRIPLE_SCHEMA = T.StructType(
 
 
 def _t(pred: str, obj: Column, is_iri: bool = False, lang: Column | None = None,
-       dt: str | None = None) -> Column:
-    """One (pred, obj, obj_is_iri, obj_lang, obj_dt) emission struct."""
+       dt: str | None = None, subj: Column | None = None) -> Column:
+    """One (subj, pred, obj, obj_is_iri, obj_lang, obj_dt) emission struct.
+
+    ``subj`` defaults to the feature uri column; the document block passes
+    its own subject so feature and document triples melt in ONE explode
+    (one pass over the wide row instead of two plan branches).
+    """
     return F.struct(
+        (subj if subj is not None else F.col("uri")).alias("subj"),
         F.lit(pred).alias("pred"),
         obj.cast("string").alias("obj"),
         F.lit(is_iri).alias("obj_is_iri"),
@@ -214,8 +220,8 @@ def feature_entities(
     return f
 
 
-def melt_feature_triples(wide: DataFrame, consolidate: bool = True) -> DataFrame:
-    """Explode the wide entity row into (subj, pred, obj, ...) triples.
+def _feature_emissions(consolidate: bool) -> list[Column]:
+    """Emission structs for the feature block.
 
     Emission template = places.rq:13-33.  With ``consolidate=True`` the
     triple-level cleanup filters of consolidate.rq:12-53 are applied inline:
@@ -244,7 +250,7 @@ def melt_feature_triples(wide: DataFrame, consolidate: bool = True) -> DataFrame
     fc_lit = _t(gn.GN_FEATURE_CODE, F.lit(""))
     fc = F.when(F.col("feature_code_iri").isNotNull(), fc_iri).otherwise(fc_lit)
 
-    emissions = F.array(
+    return [
         _t(gn.RDF_TYPE, F.lit(gn.GN_FEATURE), is_iri=True),
         _t(gn.RDFS_IS_DEFINED_BY, F.col("definition_doc"), is_iri=True),
         _t(gn.GN_COUNTRY_CODE, F.col("country_code")),
@@ -254,6 +260,7 @@ def melt_feature_triples(wide: DataFrame, consolidate: bool = True) -> DataFrame
         _t(gn.WGS84_LAT, F.col("lat_lex"), dt=gn.XSD_DECIMAL),
         _t(gn.WGS84_LONG, F.col("long_lex"), dt=gn.XSD_DECIMAL),
         F.struct(
+            F.col("uri").alias("subj"),
             F.col("proximity_pred").alias("pred"),
             proximity_obj.alias("obj"),
             F.lit(True).alias("obj_is_iri"),
@@ -270,29 +277,46 @@ def melt_feature_triples(wide: DataFrame, consolidate: bool = True) -> DataFrame
         _t(gn.GN_CHILDREN_FEATURES, F.col("children_doc"), is_iri=True),
         _t(gn.GN_PARENT_FEATURE, F.col("final_parent"), is_iri=True),
         _t(gn.GN_NAME, F.col("bestName")),
-    )
-    t = wide.select(
-        F.col("uri").alias("subj"), F.explode(emissions).alias("e")
-    ).select("subj", "e.pred", "e.obj", "e.obj_is_iri", "e.obj_lang", "e.obj_dt")
-    return t.filter(F.col("obj").isNotNull())
+    ]
 
 
-def document_triples(wide: DataFrame) -> DataFrame:
+def _document_emissions() -> list[Column]:
     """foaf:Document block (places.rq:36-41): license/attribution/modified."""
     gn = vocab
+    doc = F.col("definition_doc")
     mod_obj = F.when(
         F.col("modification_date").isNotNull(),
         F.col("modification_date").cast("string"),
     )
-    emissions = F.array(
-        _t(gn.RDF_TYPE, F.lit(gn.FOAF_DOCUMENT), is_iri=True),
-        _t(gn.FOAF_PRIMARY_TOPIC, F.col("uri"), is_iri=True),
-        _t(gn.CC_LICENSE, F.lit(gn.LICENSE_URI), is_iri=True),
-        _t(gn.CC_ATTRIBUTION_URL, F.lit(gn.ATTRIBUTION_URI), is_iri=True),
-        _t(gn.CC_ATTRIBUTION_NAME, F.lit("GeoNames"), dt=gn.XSD_STRING),
-        _t(gn.DCTERMS_MODIFIED, mod_obj, dt=gn.XSD_DATE),
+    return [
+        _t(gn.RDF_TYPE, F.lit(gn.FOAF_DOCUMENT), is_iri=True, subj=doc),
+        _t(gn.FOAF_PRIMARY_TOPIC, F.col("uri"), is_iri=True, subj=doc),
+        _t(gn.CC_LICENSE, F.lit(gn.LICENSE_URI), is_iri=True, subj=doc),
+        _t(gn.CC_ATTRIBUTION_URL, F.lit(gn.ATTRIBUTION_URI), is_iri=True, subj=doc),
+        _t(gn.CC_ATTRIBUTION_NAME, F.lit("GeoNames"), dt=gn.XSD_STRING, subj=doc),
+        _t(gn.DCTERMS_MODIFIED, mod_obj, dt=gn.XSD_DATE, subj=doc),
+    ]
+
+
+def _melt(wide: DataFrame, emissions: list[Column]) -> DataFrame:
+    t = wide.select(F.explode(F.array(*emissions)).alias("e")).select(
+        "e.subj", "e.pred", "e.obj", "e.obj_is_iri", "e.obj_lang", "e.obj_dt"
     )
-    t = wide.select(
-        F.col("definition_doc").alias("subj"), F.explode(emissions).alias("e")
-    ).select("subj", "e.pred", "e.obj", "e.obj_is_iri", "e.obj_lang", "e.obj_dt")
     return t.filter(F.col("obj").isNotNull())
+
+
+def melt_feature_triples(wide: DataFrame, consolidate: bool = True,
+                         include_docs: bool = False) -> DataFrame:
+    """Explode the wide entity row into (subj, pred, obj, ...) triples.
+
+    With ``include_docs`` the foaf:Document block melts in the same pass
+    (single explode over one concatenated emission array — no second scan
+    of the wide plan)."""
+    em = _feature_emissions(consolidate)
+    if include_docs:
+        em = em + _document_emissions()
+    return _melt(wide, em)
+
+
+def document_triples(wide: DataFrame) -> DataFrame:
+    return _melt(wide, _document_emissions())

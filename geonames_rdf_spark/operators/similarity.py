@@ -108,16 +108,22 @@ def pairwise_topk_per_label(embeddings: DataFrame, k: int = 3,
     the quadratic term — the pattern for 'find my cluster neighbours'."""
     from pyspark.sql import Window
 
-    a = embeddings.select(F.col(label_col).alias("lbl"),
-                          F.col(id_col).alias("id_a"),
-                          F.col(vec_col).alias("va"))
-    b = embeddings.select(F.col(label_col).alias("lbl"),
-                          F.col(id_col).alias("id_b"),
-                          F.col(vec_col).alias("vb"))
+    # pre-normalize once per row (norm is O(dim); doing it inside the
+    # pairwise cosine would recompute it O(group_size) times per row)
+    base = embeddings.select(
+        F.col(label_col).alias("lbl"), F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("nrm", norm_expr(F.col("v")))
+    a = base.select(F.col("lbl"), F.col("id").alias("id_a"),
+                    F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = base.select(F.col("lbl"), F.col("id").alias("id_b"),
+                    F.col("v").alias("vb"), F.col("nrm").alias("nb"))
     pairs = a.join(b, "lbl").filter(F.col("id_a") != F.col("id_b"))
     scored = pairs.select(
         "lbl", "id_a", "id_b",
-        F.round(cosine_expr(F.col("va"), F.col("vb")), 6).alias("cosine"),
+        F.round(
+            dot_expr(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+        ).alias("cosine"),
     )
     w = Window.partitionBy("id_a").orderBy(F.desc("cosine"), F.asc("id_b"))
     return (

@@ -623,3 +623,36 @@ SELECT id_a, id_b, cosine, rn FROM (
         "ann_cosine_topk": ann_topk,
         "ann_knn_per_label": knn_label,
     }
+
+
+def streaming_sql() -> dict[str, str]:
+    """DuckDB twins for the batch halves of the streaming layer."""
+    windowed = """
+SELECT CAST(date_trunc('hour', ts) AS STRING) AS window_start,
+       event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+"""
+    sessionize = """
+SELECT event_id, ts, user_id, event_type, value, props, session_seq,
+       CAST(user_id AS STRING) || '-' || CAST(session_seq AS STRING) AS session_id
+FROM (
+  SELECT *, CAST(SUM(new_session) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+  FROM (
+    SELECT *, CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END AS new_session
+    FROM (
+      SELECT *, CAST(FLOOR(epoch(ts)) AS BIGINT) - LAG(CAST(FLOOR(epoch(ts)) AS BIGINT)) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+      FROM events
+    )
+  )
+)
+"""
+    return {
+        "events_windowed_stats": windowed,
+        "events_sessionize": sessionize,
+    }

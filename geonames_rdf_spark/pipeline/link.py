@@ -1,14 +1,19 @@
 """Entity-link scoring and resolution (stage S4).
 
 score = population prior + language-context bonus; per-mention argmax via
-a window over (url, begin) with deterministic geonameid tie-break.  The
-feature-attribute side is dimension-sized -> broadcast join; the argmax
-shuffle is keyed by url (uniform), so hot toponyms cause no skew here.
+``groupBy(url, begin) + max_by`` — a hash aggregation with MAP-SIDE partial
+combine, so the shuffle carries one row per *mention*, not one row per
+candidate (the candidate fan-out for hot toponyms like 'London' collapses
+before the exchange).  A sort-based window row_number here would shuffle
+and sort every candidate row — measurably anti-scaling at high
+parallelism.  The feature-attribute side is dimension-sized -> broadcast;
+language context rides the mention stream (``detect_mentions(...,
+carry_lang=True)``), so no join back to the page table.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # deterministic page-language -> country-code-digit affinity used by the
@@ -24,7 +29,9 @@ def link_mentions(
     """Resolve each (url, begin) mention to its best candidate.
 
     ``features`` needs (geonameid, population, country_code).  Returns
-    (url, surface, begin, end, geonameid, score).
+    (url, surface, begin, end, geonameid, score).  Language context comes
+    from a ``lang`` column on ``mentions`` if present, else from ``pages``
+    (joined — the slow path, kept for API compatibility).
     """
     attrs = F.broadcast(
         features.select(
@@ -35,24 +42,29 @@ def link_mentions(
     )
     m = mentions.join(attrs, "candidate", "left")
     score = F.log10(F.col("_pop") + 1)
-    if pages is not None:
+    has_lang = "lang" in mentions.columns
+    if has_lang or pages is not None:
+        if not has_lang:
+            m = m.join(pages.select("url", "lang"), "url", "left")
         lang_map = F.create_map(
             *[x for k, v in LANG_COUNTRY.items() for x in (F.lit(k), F.lit(f"C{v}"))]
         )
-        m = m.join(pages.select("url", "lang"), "url", "left")
         score = score + F.when(
             F.col("_cc") == lang_map[F.col("lang")], F.lit(2.0)
         ).otherwise(F.lit(0.0))
-    m = m.withColumn("score", score)
-    w = Window.partitionBy("url", "begin").orderBy(
-        F.desc("score"), F.asc("candidate")
+    m = m.withColumn("score", F.round(score, 6))
+    # argmax: max_by over (score, -candidate) — highest score, then lowest
+    # geonameid; struct comparison is lexicographic, aggregation is
+    # partial-combinable (unlike a window sort)
+    best = m.groupBy("url", "begin").agg(
+        F.max_by(
+            F.struct("surface", "end", "candidate", "score"),
+            F.struct(F.col("score"), (-F.col("candidate")).alias("_negid")),
+        ).alias("b")
     )
-    return (
-        m.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(
-            "url", "surface", "begin", "end",
-            F.col("candidate").alias("geonameid"),
-            F.round(F.col("score"), 6).alias("score"),
-        )
+    return best.select(
+        "url", F.col("b.surface").alias("surface"), "begin",
+        F.col("b.end").alias("end"),
+        F.col("b.candidate").alias("geonameid"),
+        F.col("b.score").alias("score"),
     )

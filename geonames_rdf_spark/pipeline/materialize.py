@@ -46,26 +46,47 @@ def run_pipeline(
     sf_dir: str,
     n_pages: int = 1000,
     include_feature_triples: bool = True,
+    cache: bool = True,
 ) -> dict[str, DataFrame]:
-    """Full web-scale KG construction over a synthesized corpus."""
+    """Full web-scale KG construction over a synthesized corpus.
+
+    ``cache=True`` persists the dimension-sized feature table and the page
+    corpus: both feed multiple consumers (two driver collects + the link
+    join; mention scan + the lang join).  On a real deployment the corpus
+    is a storage table — the re-read is pruned columnar IO — but a
+    generated corpus would otherwise be re-synthesized per consumer.
+    """
     tables = build.gazetteer_tables(spark, sf_dir)
     features = tables["features"]
+    if cache:
+        features = features.cache()
 
     surfaces = corpus.gazetteer_surfaces(features)
     pages = corpus.synthesize_pages(spark, surfaces, n_pages)
     # S1: recompute text from html (byte-identity invariant)
     pages = extract.with_extracted_text(pages.drop("text").withColumn(
         "text", F.lit(None).cast("string")))
-    # S3: broadcast Aho-Corasick mention detection + candidates
-    smap = mentions.build_surface_map(features)
-    ment = mentions.detect_mentions(pages, smap)
-    # S4: link scoring + per-mention argmax
-    linked = link.link_mentions(ment, features, pages=pages)
+    if cache:
+        pages = pages.cache()
+    # S3+S4 fused: broadcast Aho-Corasick with scored candidates; mention
+    # detection, scoring and per-mention argmax all inside the Arrow batch
+    # (candidate fan-out never shuffles).  The staged operators
+    # (detect_mentions + link_mentions) remain available for scoring
+    # features that cannot be broadcast; equivalence is test-pinned.
+    smap_scored = mentions.build_scored_surface_map(features)
+    linked = mentions.detect_and_link(pages, smap_scored)
+    # candidate-level mention stream via the staged operator — lazy; only
+    # evaluated when a caller actually consumes it
+    ment = mentions.detect_mentions(
+        pages, mentions.build_surface_map(features), carry_lang=True
+    )
     # S6: triples
     mt = mention_triples(linked)
     out = mt
     if include_feature_triples:
         out = build.build_kg(spark, sf_dir).unionByName(mt)
+    # S2 used `features` for surfaces/map/link; mark it reusable for callers
+    tables["features"] = features
     return {
         "pages": pages,
         "mentions": ment,

@@ -32,7 +32,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "64g"))
+        # tmpfs shuffle dir: this container's disk is shared with noisy
+        # neighbours; on a real cluster local dirs are provisioned NVMe
+        .config("spark.local.dir",
+                os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-local"))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.host", "127.0.0.1")
         .config("spark.driver.bindAddress", "127.0.0.1")

@@ -1,0 +1,132 @@
+"""Structured Streaming layer (SURVEY.md notes: the reference is batch-only;
+streaming is the Spark-native generalization for continuously-arriving
+crawl/event data).
+
+Batch/stream symmetry: the same windowed-aggregation logic runs as a batch
+DataFrame (oracle-checkable against DuckDB) and as a streaming query with
+watermarked event-time windows (tested via the file source -> memory sink
+round trip).  ``streaming_kg_mentions`` runs the KG mention scan as a
+streaming stage — pages arriving as micro-batches produce the same mention
+stream the batch pipeline yields.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+    " value double, props string"
+)
+
+
+def windowed_event_stats(events: DataFrame, minutes: int = 60) -> DataFrame:
+    """Per (event_type, hour-ish window) stats — batch twin of the stream.
+
+    Uses date_trunc-style bucketing so the DuckDB oracle matches exactly;
+    decimals for the sum to keep cross-engine float determinism.
+    """
+    bucket = F.window("ts", f"{minutes} minutes")
+    return (
+        events.groupBy(bucket.alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            # decimal accumulation => exact, order-independent, identical
+            # across engines; surfaced as double for a stable pandas dtype
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.col("w.start").cast("string").alias("window_start"),
+            "event_type", "n", "sum_value", "n_users",
+        )
+    )
+
+
+def approx_event_stats(events: DataFrame) -> DataFrame:
+    """Approximate-distinct / quantile sketch demo (HLL++ and GK) — the
+    operators a 100 TB rollup actually uses; accuracy pinned by pytest
+    (cross-engine sketches differ, so no DuckDB value-oracle)."""
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.percentile_approx("value", [0.5, 0.95, 0.99]).alias("value_q"),
+        F.count("*").alias("n"),
+    )
+
+
+def run_stream_windowed(
+    spark: SparkSession,
+    source_dir: str,
+    query_name: str = "event_stats",
+    watermark: str = "2 hours",
+    minutes: int = 60,
+):
+    """Streaming version: file source -> watermark -> windowed agg ->
+    memory sink.  Returns the StreamingQuery (caller drives with
+    processAllAvailable)."""
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA).parquet(source_dir)
+        .withWatermark("ts", watermark)
+    )
+    agg = (
+        stream.groupBy(F.window("ts", f"{minutes} minutes"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("window.start").alias("window_start"), "event_type",
+            "n", "sum_value",
+        )
+    )
+    return (
+        agg.writeStream.outputMode("complete")
+        .format("memory").queryName(query_name)
+        .start()
+    )
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Batch sessionization: lag + cumulative gap-count window — the
+    classic Spark formulation (session id = user_id + running count of
+    gaps > threshold)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet naive timestamps arrive as TIMESTAMP_NTZ; route through LTZ
+    # (session tz is pinned UTC) to get epoch seconds
+    epoch = F.col("ts").cast("timestamp_ltz").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    return (
+        events.withColumn("_gap", gap)
+        .withColumn(
+            "_new_session",
+            (F.col("_gap").isNull() | (F.col("_gap") > gap_minutes * 60)).cast("int"),
+        )
+        .withColumn("session_seq", F.sum("_new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn(
+            "session_id",
+            F.concat_ws("-", F.col("user_id"), F.col("session_seq")),
+        )
+        .drop("_gap", "_new_session")
+    )
+
+
+def run_stream_mentions(
+    spark: SparkSession,
+    pages_dir: str,
+    surface_map: dict[str, list[int]],
+    query_name: str = "stream_mentions",
+):
+    """KG mention detection as a streaming stage: micro-batched pages ->
+    the same Aho-Corasick mapInPandas scan -> memory sink."""
+    from geonames_rdf_spark.pipeline import mentions as m
+
+    pages = spark.readStream.schema(
+        "url string, warc_ts timestamp, html binary, text string, lang string"
+    ).parquet(pages_dir)
+    ment = m.detect_mentions(pages, surface_map, carry_lang=True)
+    return (
+        ment.writeStream.outputMode("append")
+        .format("memory").queryName(query_name)
+        .start()
+    )

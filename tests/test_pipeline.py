@@ -132,3 +132,28 @@ def test_ntriples_sink_roundtrip(spark, tmp_path, result):
     lines = spark.read.text(path)
     assert lines.count() == 500
     assert lines.filter(~F.col("value").rlike(r"^<[^>]+> <[^>]+> .+ \.$")).count() == 0
+
+
+def test_fused_link_equivalence(spark):
+    """detect_and_link (fused, in-scan argmax) == detect_mentions +
+    link_mentions (staged operators) on ids; scores equal to 1e-6."""
+    tables = build.gazetteer_tables(spark, SF)
+    feats = tables["features"].cache()
+    surfaces = corpus.gazetteer_surfaces(feats)
+    pages = corpus.synthesize_pages(spark, surfaces, 250).cache()
+
+    staged = link.link_mentions(
+        mentions.detect_mentions(pages, mentions.build_surface_map(feats),
+                                 carry_lang=True),
+        feats,
+    )
+    fused = mentions.detect_and_link(pages, mentions.build_scored_surface_map(feats))
+
+    s = {(r["url"], r["begin"]): (r["geonameid"], r["score"])
+         for r in staged.collect()}
+    f = {(r["url"], r["begin"]): (r["geonameid"], r["score"])
+         for r in fused.collect()}
+    assert set(s) == set(f)
+    for k in s:
+        assert s[k][0] == f[k][0], (k, s[k], f[k])
+        assert abs(s[k][1] - f[k][1]) < 1e-6

@@ -1,0 +1,56 @@
+"""Sources round-trips + the P/R evaluation harness."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from geonames_rdf_spark import evaluation, synth
+from geonames_rdf_spark.operators import build
+from geonames_rdf_spark.pipeline import materialize
+from geonames_rdf_spark.sources import ntriples, tsv
+from tests.conftest import SF
+
+
+def test_tsv_roundtrip_with_null_semantics(spark, tmp_path):
+    gaz = synth.register_gazetteer(spark, SF)
+    feats = gaz["features_plus"].withColumn("bestName", F.col("name"))
+    path = str(tmp_path / "features_tsv")
+    tsv.write_tsv(feats.select(*[f.name for f in tsv.FEATURES_SCHEMA.fields]), path)
+    back = tsv.read_tsv(spark, path, tsv.FEATURES_SCHEMA)
+    assert back.count() == feats.count()
+    orig = feats.select(*[f.name for f in tsv.FEATURES_SCHEMA.fields])
+    # '' and NULL collapse to NULL on read — normalize the original the same
+    norm = orig
+    for f in tsv.FEATURES_SCHEMA.fields:
+        if f.dataType.typeName() == "string":
+            norm = norm.withColumn(
+                f.name, F.when(F.col(f.name) != "", F.col(f.name))
+            )
+    assert norm.exceptAll(back).count() == 0
+    assert back.exceptAll(norm).count() == 0
+
+
+def test_ntriples_roundtrip(spark, tmp_path):
+    kg = build.build_kg(spark, SF)
+    path = str(tmp_path / "kg_nt")
+    materialize.write_ntriples(kg, path)
+    back = ntriples.read_ntriples(spark, path)
+    assert back.count() == kg.count()
+    a = kg.select("subj", "pred", "obj", "obj_is_iri", "obj_lang", "obj_dt")
+    assert a.exceptAll(back).count() == 0
+    assert back.exceptAll(a).count() == 0
+
+
+def test_triple_pr_exact_match(spark):
+    kg = build.build_kg(spark, SF)
+    pr = evaluation.triple_pr(kg, kg)
+    assert pr["precision"] == 1.0 and pr["recall"] == 1.0
+
+
+def test_triple_pr_detects_divergence(spark):
+    kg = build.build_kg(spark, SF)
+    # drop consolidation => extra triples => precision < 1, recall = 1
+    raw = build.build_kg(spark, SF, consolidate=False)
+    pr = evaluation.triple_pr(raw, kg)
+    assert pr["recall"] == 1.0
+    assert pr["precision"] < 1.0

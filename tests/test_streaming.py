@@ -1,0 +1,85 @@
+"""Structured Streaming layer: batch/stream symmetry + watermarked windows."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from geonames_rdf_spark.streaming import events as ev
+from tests.conftest import SF
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet(f"{SF}/events.parquet").cache()
+
+
+def test_windowed_stats_batch(events):
+    out = ev.windowed_event_stats(events)
+    rows = out.collect()
+    assert len(rows) > 0
+    assert sum(r["n"] for r in rows) == events.count()
+
+
+def test_sessionize(events):
+    out = ev.sessionize(events)
+    assert out.count() == events.count()
+    # session_seq is monotone per user over time
+    bad = (
+        ev.sessionize(events)
+        .groupBy("user_id")
+        .agg(F.max("session_seq").alias("mx"), F.countDistinct("session_id").alias("ns"))
+        .filter(F.col("mx") != F.col("ns"))
+    )
+    assert bad.count() == 0
+
+
+def test_approx_stats_accuracy(events):
+    approx = {r["event_type"]: r["approx_users"]
+              for r in ev.approx_event_stats(events).collect()}
+    exact = {r["event_type"]: r["n"]
+             for r in events.groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("n")).collect()}
+    for k, v in exact.items():
+        assert abs(approx[k] - v) <= max(2, 0.1 * v)
+
+
+def test_stream_windowed_matches_batch(spark, events, tmp_path):
+    src = str(tmp_path / "events_src")
+    events.write.parquet(src)
+    q = ev.run_stream_windowed(spark, src, query_name="tw_stats")
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT * FROM tw_stats")
+        batch = ev.windowed_event_stats(events)
+        assert got.count() == batch.count()
+        g = {(str(r["window_start"]), r["event_type"]): r["n"] for r in got.collect()}
+        b = {(r["window_start"], r["event_type"]): r["n"] for r in batch.collect()}
+        assert g == b
+    finally:
+        q.stop()
+
+
+def test_stream_mentions(spark, tmp_path):
+    from geonames_rdf_spark.operators import build
+    from geonames_rdf_spark.pipeline import corpus, mentions
+
+    tables = build.gazetteer_tables(spark, SF)
+    feats = tables["features"]
+    surfaces = corpus.gazetteer_surfaces(feats)
+    pages = corpus.synthesize_pages(spark, surfaces, 100)
+    src = str(tmp_path / "pages_src")
+    pages.write.parquet(src)
+    smap = mentions.build_surface_map(feats)
+
+    q = ev.run_stream_mentions(spark, src, smap, query_name="tm_mentions")
+    try:
+        q.processAllAvailable()
+        streamed = spark.sql("SELECT * FROM tm_mentions")
+        batch = mentions.detect_mentions(
+            spark.read.parquet(src), smap, carry_lang=True
+        )
+        assert streamed.count() == batch.count()
+        assert streamed.exceptAll(batch).count() == 0
+    finally:
+        q.stop()
