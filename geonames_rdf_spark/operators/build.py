@@ -14,9 +14,10 @@ from geonames_rdf_spark import synth
 from geonames_rdf_spark.operators import altnames, places, preshape
 
 
-def gazetteer_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+def gazetteer_tables(spark: SparkSession, sf_dir: str,
+                     replicate: int = 1) -> dict[str, DataFrame]:
     """Derive every pre-shaped table from the raw synthesized inputs."""
-    gaz = synth.register_gazetteer(spark, sf_dir)
+    gaz = synth.register_gazetteer(spark, sf_dir, replicate=replicate)
     features = gaz["features_plus"]
     alt = preshape.semi_join_alt_names(gaz["alt_names"], features)
     best = preshape.best_names(alt)
@@ -49,9 +50,10 @@ def build_kg(
     include_alt: bool = True,
     include_ags: bool = True,
     ags_country: str = "C0",
+    replicate: int = 1,
 ) -> DataFrame:
     """Full triple table: features ∪ documents ∪ alternate names ∪ AGS."""
-    t = gazetteer_tables(spark, sf_dir)
+    t = gazetteer_tables(spark, sf_dir, replicate=replicate)
     wide = places.feature_entities(
         t["features"], t["country_codes"], t["admin_lookups"], t["hierarchy"]
     )

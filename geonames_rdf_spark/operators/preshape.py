@@ -36,10 +36,12 @@ def semi_join_alt_names(alt_names: DataFrame, features: DataFrame) -> DataFrame:
     """B3: keep alternate-name rows whose geonameid exists in features.
 
     Replaces the awk assoc-array build+probe (download.sh:110-111) with a
-    broadcast-hash left-semi join — the id set is the small build side.
+    left-semi join.  No broadcast hint: at gazetteer scale (13M+ ids) a
+    forced broadcast serializes through the driver; AQE picks
+    broadcast-hash when the id side is small and a parallel shuffle join
+    when it is not.
     """
-    ids = F.broadcast(features.select("geonameid").distinct())
-    return alt_names.join(ids, "geonameid", "left_semi")
+    return alt_names.join(features.select("geonameid"), "geonameid", "left_semi")
 
 
 def derive_admin_lookup(features: DataFrame, level: int) -> DataFrame:

@@ -20,13 +20,16 @@ from geonames_rdf_spark.operators import graph
 
 def entity_table(triples: DataFrame, preds: dict[str, str]) -> DataFrame:
     """Star-join entity assembly: one row per subject, one column per
-    predicate (first value).  Equivalent of a SPARQL basic graph pattern
-    with N single-valued predicates on one subject (municipalities.rq:8-17)
-    — done as ONE hash aggregation, not N self-joins.
+    predicate.  Equivalent of a SPARQL basic graph pattern with N
+    single-valued predicates on one subject (municipalities.rq:8-17) —
+    done as ONE hash aggregation, not N self-joins.  ``max`` (not
+    ``first``) keeps the aggregate hash-based and partial-combinable
+    (``first`` forces SortAggregate) and picks deterministically when a
+    predicate is unexpectedly multi-valued.
     """
     t = triples.filter(F.col("pred").isin(*preds.values()))
     aggs = [
-        F.first(F.when(F.col("pred") == p, F.col("obj")), ignorenulls=True).alias(c)
+        F.max(F.when(F.col("pred") == p, F.col("obj"))).alias(c)
         for c, p in preds.items()
     ]
     return t.groupBy("subj").agg(*aggs)
@@ -37,8 +40,12 @@ def q_all_limit(triples: DataFrame, n: int = 10) -> DataFrame:
     return triples.select("subj", "pred", "obj").orderBy("subj", "pred", "obj").limit(n)
 
 
-def q_population(triples: DataFrame, threshold: int = 500_000) -> DataFrame:
-    """C2 (population.rq): ADM4 features, population > threshold, top-k sort."""
+def q_population(triples: DataFrame, threshold: int = 500_000,
+                 limit: int | None = None) -> DataFrame:
+    """C2 (population.rq): ADM4 features, population > threshold, sorted.
+
+    With ``limit`` the sort becomes TakeOrderedAndProject (per-partition
+    top-k + merge — no global sort, the scale-safe shape)."""
     e = entity_table(
         triples,
         {
@@ -49,7 +56,7 @@ def q_population(triples: DataFrame, threshold: int = 500_000) -> DataFrame:
             "longitude": vocab.WGS84_LONG,
         },
     )
-    return (
+    out = (
         e.filter(F.col("feature_code") == vocab.GN + "A.ADM4")
         .withColumn("population", F.col("population").cast("long"))
         .filter(F.col("population") > threshold)
@@ -59,6 +66,7 @@ def q_population(triples: DataFrame, threshold: int = 500_000) -> DataFrame:
         )
         .orderBy(F.desc("population"))
     )
+    return out.limit(limit) if limit else out
 
 
 def q_municipalities(triples: DataFrame, parent_uri: str) -> DataFrame:

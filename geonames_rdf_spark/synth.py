@@ -184,9 +184,34 @@ def register_base(spark: SparkSession, sf_dir: str, tables=BASE_TABLES) -> None:
         spark.read.parquet(f"{sf_dir}/{name}.parquet").createOrReplaceTempView(name)
 
 
-def register_gazetteer(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """Build the derived gazetteer views; returns name -> DataFrame."""
+def register_gazetteer(spark: SparkSession, sf_dir: str,
+                       replicate: int = 1) -> dict[str, DataFrame]:
+    """Build the derived gazetteer views; returns name -> DataFrame.
+
+    ``replicate > 1`` scales the synthetic world for benchmarks: customer
+    ids are cloned with +copy*1e6 offsets (orders +copy*1e7).  Replicas all
+    land in the place-row id range (>= 110), so admin/country lookup keys
+    stay unique — the world gains places, not conflicting dimensions.
+    Not used by the oracle path (the driver compares at replicate=1).
+    """
     register_base(spark, sf_dir, tables=("customer", "orders"))
+    if replicate > 1:
+        from pyspark.sql import functions as F
+
+        # the small parquet inputs are single-split; without an explicit
+        # repartition the whole downstream narrow chain (broadcast joins +
+        # melt) would run as ONE task regardless of cores
+        par = spark.sparkContext.defaultParallelism
+        copies = spark.range(replicate).withColumnRenamed("id", "copy")
+        cust = spark.read.parquet(f"{sf_dir}/customer.parquet").crossJoin(copies)
+        cust.select(
+            (F.col("c_custkey") + F.col("copy") * 1_000_000).alias("c_custkey")
+        ).repartition(par).createOrReplaceTempView("customer")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").crossJoin(copies)
+        orders.select(
+            (F.col("o_orderkey") + F.col("copy") * 10_000_000).alias("o_orderkey"),
+            (F.col("o_custkey") + F.col("copy") * 1_000_000).alias("o_custkey"),
+        ).repartition(par).createOrReplaceTempView("orders")
     out: dict[str, DataFrame] = {}
     for name in ("features", "features_plus", "alt_names", "hierarchy_raw", "ags_map"):
         df = spark.sql(TABLE_SQL[name])

@@ -1,0 +1,73 @@
+#!/usr/bin/env python3
+"""spark-submit entry point: full KG construction job.
+
+    spark-submit --master local[32] --py-files pipeline.zip jobs/run_kg.py \
+        --sf-dir /root/testdata/sf0.01 --out /tmp/kg_out \
+        --pages 10000 --buckets 32
+
+On a cluster the same invocation runs with --master yarn/k8s; everything
+inside is partition-parallel (no driver-side loops over data).  Writes:
+  <out>/triples/bucket=K/   mention+feature triples, url-hash partitioned
+  <out>/lineage/            per-bucket lineage rows (resume keys)
+  <out>/ntriples/           canonical N-Triples text
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--pages", type=int, default=10000)
+    ap.add_argument("--buckets", type=int, default=32)
+    ap.add_argument("--resume", action="store_true",
+                    help="skip buckets already marked done in the lineage table")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from geonames_rdf_spark.operators import build
+    from geonames_rdf_spark.pipeline import (
+        corpus, extract, lineage, materialize, mentions,
+    )
+    from pyspark.sql import functions as F
+
+    spark = SparkSession.builder.appName("kg-construct").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    tables = build.gazetteer_tables(spark, args.sf_dir)
+    feats = tables["features"].cache()
+    surfaces = corpus.gazetteer_surfaces(feats)
+    smap = mentions.build_scored_surface_map(feats)
+
+    pages = extract.with_extracted_text(
+        corpus.synthesize_pages(spark, surfaces, args.pages)
+        .drop("text").withColumn("text", F.lit(None).cast("string"))
+    )
+
+    def triples_for(subset):
+        linked = mentions.detect_and_link(subset, smap)
+        return materialize.mention_triples(linked)
+
+    lineage.run_with_lineage(spark, pages, triples_for, args.out,
+                             n_buckets=args.buckets)
+
+    kg = build.build_kg(spark, args.sf_dir)
+    mention_triples = lineage.read_triples(spark, args.out)
+    all_triples = kg.unionByName(mention_triples)
+    materialize.write_ntriples(all_triples, f"{args.out}/ntriples")
+
+    print(json.dumps({
+        "feature_triples": kg.count(),
+        "mention_triples": mention_triples.count(),
+        "buckets": args.buckets,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

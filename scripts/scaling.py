@@ -53,6 +53,7 @@ def main() -> None:
         "scaling_efficiency_scan": eff("scan_sec"),
         "scaling_efficiency_pipeline": eff("pipe_sec"),
         "scaling_efficiency_kg_build": eff("kg_sec"),
+        "scaling_efficiency_kg_build_x16": eff("kg_big_sec"),
     }))
 
 

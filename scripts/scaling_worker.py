@@ -43,6 +43,11 @@ def main() -> None:
         return best, result
 
     kg_sec, triples = best_of(lambda: build.build_kg(spark, sf_dir).count())
+    # scaled KG build: x16 replicated places so the melt+joins dominate
+    # the ~3s fixed planning/broadcast cost that swamps the sf0.1 build
+    kg_big_sec, triples_big = best_of(
+        lambda: build.build_kg(spark, sf_dir, replicate=16).count()
+    )
 
     # prep: dimension build + driver collects — fixed cost independent of
     # corpus size (amortized away at scale); timed separately
@@ -77,7 +82,9 @@ def main() -> None:
     pipe_sec, mention_triples = best_of(full)
 
     print(json.dumps({
-        "cpus": cpus, "kg_sec": round(kg_sec, 3), "prep_sec": round(prep_sec, 3),
+        "cpus": cpus, "kg_sec": round(kg_sec, 3),
+        "kg_big_sec": round(kg_big_sec, 3), "triples_big": triples_big,
+        "prep_sec": round(prep_sec, 3),
         "scan_sec": round(scan_sec, 3), "pipe_sec": round(pipe_sec, 3),
         "triples": triples, "n_mentions": n_mentions,
         "mention_triples": mention_triples, "pages": n_pages,

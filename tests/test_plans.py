@@ -1,0 +1,58 @@
+"""Physical-plan audits: the plans the engine MUST produce at scale.
+
+These lock in the scale-critical properties — dimension joins broadcast
+(never sort-merge), predicate pushdown reaching the parquet scan, top-k as
+TakeOrderedAndProject (no global sort) — so a regression that silently
+degrades the 100 TB plan fails CI, not production.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from geonames_rdf_spark.operators import build
+from geonames_rdf_spark.plans import workload
+from tests.conftest import SF
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_kg_build_all_joins_broadcast(spark):
+    plan = plan_of(build.build_kg(spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_triple_scan_predicate_pushdown(spark, tmp_path):
+    path = str(tmp_path / "triples_parquet")
+    build.build_kg(spark, SF).write.parquet(path)
+    t = spark.read.parquet(path)
+    q = t.filter(F.col("pred") == "http://www.geonames.org/ontology#name") \
+         .select("subj", "obj")
+    plan = plan_of(q)
+    assert "PushedFilters: [" in plan and "pred" in plan.split("PushedFilters")[1][:200]
+    # column pruning: html-sized columns are absent from ReadSchema
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "obj_lang" not in read_schema
+
+
+def test_topk_uses_take_ordered(spark):
+    kg = build.build_kg(spark, SF)
+    plan = plan_of(workload.q_population(kg, limit=100))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_entity_table_single_shuffle(spark, tmp_path):
+    path = str(tmp_path / "triples_parquet2")
+    build.build_kg(spark, SF).write.parquet(path)
+    t = spark.read.parquet(path)
+    e = workload.entity_table(t, {"name": "http://www.geonames.org/ontology#name",
+                                  "pop": "http://www.geonames.org/ontology#population"})
+    plan = plan_of(e)
+    # one hash-aggregate pair around exactly one exchange — the star join
+    # never becomes N self-joins
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
