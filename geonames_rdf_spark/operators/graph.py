@@ -27,6 +27,9 @@ def transitive_closure(
     graph_administrative_subdivisions.rq:10) evaluated as an iterative
     self-join — the only scalable formulation in Spark.
     """
+    # the edge list is re-joined every iteration — materialize it once
+    # instead of re-deriving it from the (possibly expensive) parent plan
+    edges = edges.select("src", "dst").cache()
     result = seeds.select("node").distinct().withColumn("depth", F.lit(0))
     result = result.localCheckpoint(eager=True)
     frontier = result
@@ -43,6 +46,7 @@ def transitive_closure(
             break
         result = result.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
+    edges.unpersist()
     return result
 
 

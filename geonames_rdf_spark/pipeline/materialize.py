@@ -47,6 +47,7 @@ def run_pipeline(
     n_pages: int = 1000,
     include_feature_triples: bool = True,
     cache: bool = True,
+    canonicalize_entities: bool = False,
 ) -> dict[str, DataFrame]:
     """Full web-scale KG construction over a synthesized corpus.
 
@@ -80,6 +81,13 @@ def run_pipeline(
     ment = mentions.detect_mentions(
         pages, mentions.build_surface_map(features), carry_lang=True
     )
+    # S5 (optional): sameAs clustering -> canonical-id rewrite of links
+    if canonicalize_entities:
+        from geonames_rdf_spark.pipeline import canonicalize
+
+        edges = canonicalize.sameas_edges(features)
+        mapping = canonicalize.canonical_map(edges)
+        linked = canonicalize.rewrite_links(linked, mapping)
     # S6: triples
     mt = mention_triples(linked)
     out = mt
