@@ -17,8 +17,17 @@ from geonames_rdf_spark.operators import build, consolidate, preshape
 from geonames_rdf_spark.plans import workload
 
 
+def _ensure_session_defaults(spark: SparkSession) -> None:
+    """The driver may hand us a session with different defaults; pin the
+    confs correctness depends on (UTC for timestamp<->epoch parity with
+    DuckDB; AQE for the skew/coalesce behaviour the plans assume)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG construction (features ∪ docs ∪ altnames ∪ AGS)."""
+    _ensure_session_defaults(spark)
     return build.build_kg(spark, "/root/testdata/sf0.001")
 
 
@@ -260,7 +269,18 @@ def _q_events_approx(spark, sf_dir):
     return ev.approx_event_stats(_events(spark, sf_dir))
 
 
+def _with_defaults(fn):
+    def wrapped(spark, sf_dir):
+        _ensure_session_defaults(spark)
+        return fn(spark, sf_dir)
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {k: _with_defaults(v) for k, v in _raw_queries().items()}
+
+
+def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "events_windowed_stats": _q_events_windowed,
         "events_sessionize": _q_events_sessionize,

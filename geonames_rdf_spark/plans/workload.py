@@ -183,8 +183,14 @@ def q_hierarchy_report(triples: DataFrame, seed_uri: str) -> DataFrame:
     anc = q_ancestors(triples, seed_uri).select(
         F.col("feature").alias("subj"), "depth"
     )
+    # the ancestor set is tiny (path to the root): semi-join the triple
+    # table down to those subjects BEFORE any aggregation — at corpus
+    # scale this turns four full-table window passes into work on a
+    # handful of rows
+    scoped = triples.join(F.broadcast(anc.select("subj")), "subj", "left_semi")
+
     e = entity_table(
-        triples,
+        scoped,
         {
             "featureCode": vocab.GN_FEATURE_CODE,
             "latitude": vocab.WGS84_LAT,
@@ -198,28 +204,38 @@ def q_hierarchy_report(triples: DataFrame, seed_uri: str) -> DataFrame:
         & F.col("longitude").isNotNull()
     )
 
-    def longest_one(pred: str, prefix: str, out: str) -> DataFrame:
-        from pyspark.sql import Window
-
-        n = q_longest_names(triples, pred, prefix)
-        w = Window.partitionBy("feature").orderBy("name")
-        return (
-            n.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(F.col("feature").alias("subj"), F.col("name").alias(out))
+    # all four longest-name variants in ONE aggregation pass: per
+    # (subject, name-kind) keep the longest value, ties to the smallest
+    # string — max_by over (length, negated-name) has exactly the
+    # NOT-EXISTS + deterministic-pick semantics and is map-side combinable
+    kind = (
+        F.when(F.col("pred") == vocab.GN_OFFICIAL_NAME, F.lit("official"))
+        .when(F.col("pred") == vocab.GN_ALTERNATE_NAME, F.lit("alternate"))
+    )
+    lang2 = F.substring(F.col("obj_lang"), 1, 2)
+    names = (
+        scoped.filter(
+            F.col("pred").isin(vocab.GN_OFFICIAL_NAME, vocab.GN_ALTERNATE_NAME)
+            & F.col("obj_lang").isNotNull()
+            & lang2.isin("en", "de")
         )
-
-    off_en = longest_one(vocab.GN_OFFICIAL_NAME, "en", "official_en")
-    alt_en = longest_one(vocab.GN_ALTERNATE_NAME, "en", "alt_en")
-    off_de = longest_one(vocab.GN_OFFICIAL_NAME, "de", "official_de")
-    alt_de = longest_one(vocab.GN_ALTERNATE_NAME, "de", "alt_de")
+        .select("subj", F.concat(kind, F.lit("_"), lang2).alias("slot"), "obj")
+        .groupBy("subj")
+        .pivot("slot", ["official_en", "alternate_en", "official_de", "alternate_de"])
+        .agg(
+            # minimize (-length, value): longest name, ties to the
+            # lexicographically smallest — the NOT-EXISTS semantics plus
+            # the deterministic pick the oracle's ROW_NUMBER makes
+            F.min_by(
+                "obj",
+                F.struct((-F.length("obj")).alias("neg_len"), F.col("obj")),
+            )
+        )
+    )
     out = (
-        base.join(off_en, "subj", "left")
-        .join(alt_en, "subj", "left")
-        .join(off_de, "subj", "left")
-        .join(alt_de, "subj", "left")
-        .withColumn("name", F.coalesce("official_en", "alt_en"))
-        .withColumn("name_de", F.coalesce("official_de", "alt_de"))
+        base.join(names, "subj", "left")
+        .withColumn("name", F.coalesce("official_en", "alternate_en"))
+        .withColumn("name_de", F.coalesce("official_de", "alternate_de"))
     )
     return out.select(
         F.col("subj").alias("feature"), "name", "name_de", "municipalityKey",
