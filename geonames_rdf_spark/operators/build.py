@@ -15,9 +15,22 @@ from geonames_rdf_spark.operators import altnames, places, preshape
 
 
 def gazetteer_tables(spark: SparkSession, sf_dir: str,
-                     replicate: int = 1) -> dict[str, DataFrame]:
-    """Derive every pre-shaped table from the raw synthesized inputs."""
+                     replicate: int = 1,
+                     cache_dims: bool = True) -> dict[str, DataFrame]:
+    """Derive every pre-shaped table from the raw synthesized inputs.
+
+    ``cache_dims`` persists the raw feature table: five consumers read it
+    (features_plus, four admin lookups, countries) and the derivation
+    chain would otherwise be recomputed per broadcast build.  Dimension
+    tables are cache-sized by definition (GeoNames ~13M rows vs 10^12
+    pages).
+    """
     gaz = synth.register_gazetteer(spark, sf_dir, replicate=replicate)
+    if cache_dims:
+        raw = gaz["features"].cache()
+        raw.createOrReplaceTempView("features")
+        gaz["features"] = raw
+        gaz["features_plus"] = spark.sql(synth.TABLE_SQL["features_plus"])
     features = gaz["features_plus"]
     alt = preshape.semi_join_alt_names(gaz["alt_names"], features)
     best = preshape.best_names(alt)
