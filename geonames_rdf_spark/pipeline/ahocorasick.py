@@ -53,18 +53,30 @@ class AhoCorasick:
 
     def scan(self, text: str) -> list[tuple[int, str, list[int]]]:
         """Yield (start_offset, surface, payload) for every match with
-        word-boundary guards (a toponym inside a longer word is noise)."""
+        word-boundary guards (a toponym inside a longer word is noise).
+
+        Hot loop: local bindings + empty-output fast path (~30% faster
+        than attribute lookups per char — this IS the pipeline's CPU
+        bottleneck, see BENCH.md)."""
         res = []
         state = 0
         n = len(text)
+        goto, fail, out = self.goto, self.fail, self.out
+        append = res.append
         for i, ch in enumerate(text):
-            while state and ch not in self.goto[state]:
-                state = self.fail[state]
-            state = self.goto[state].get(ch, 0)
-            for pat, payload in self.out[state]:
+            node = goto[state]
+            while state and ch not in node:
+                state = fail[state]
+                node = goto[state]
+            state = node.get(ch, 0)
+            matches = out[state]
+            if not matches:
+                continue
+            nxt_ok = i + 1 >= n or not text[i + 1].isalnum()
+            if not nxt_ok:
+                continue
+            for pat, payload in matches:
                 start = i - len(pat) + 1
-                before_ok = start == 0 or not text[start - 1].isalnum()
-                after_ok = i + 1 >= n or not text[i + 1].isalnum()
-                if before_ok and after_ok:
-                    res.append((start, pat, payload))
+                if start == 0 or not text[start - 1].isalnum():
+                    append((start, pat, payload))
         return res
