@@ -130,3 +130,47 @@ def run_stream_mentions(
         .format("memory").queryName(query_name)
         .start()
     )
+
+
+def run_stream_stateful_counts(
+    spark: SparkSession,
+    source_dir: str,
+    query_name: str = "stateful_counts",
+):
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-user running event count + running value sum maintained in group
+    state across micro-batches (the Spark-native replacement for any
+    per-key accumulating operator the reference's batch shell loops
+    could not express).
+    """
+    import pandas as pd
+
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(source_dir)
+
+    def update(key, pdf_iter, state):
+        (user_id,) = key
+        if state.exists:
+            n, total = state.get
+        else:
+            n, total = 0, 0.0
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n],
+             "sum_value": [round(total, 2)]}
+        )
+
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, n_events bigint, sum_value double",
+        stateStructType="n bigint, total double",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+    return (
+        out.writeStream.outputMode("update")
+        .format("memory").queryName(query_name)
+        .start()
+    )

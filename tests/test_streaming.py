@@ -83,3 +83,33 @@ def test_stream_mentions(spark, tmp_path):
         assert streamed.exceptAll(batch).count() == 0
     finally:
         q.stop()
+
+
+def test_stateful_counts_across_batches(spark, events, tmp_path):
+    """applyInPandasWithState accumulates across micro-batches: feed two
+    file drops, final per-user counts must equal the batch aggregate."""
+    src = str(tmp_path / "ev_stateful")
+    half1 = events.filter(F.col("event_id") % 2 == 0)
+    half2 = events.filter(F.col("event_id") % 2 == 1)
+    half1.write.parquet(src)
+    q = ev.run_stream_stateful_counts(spark, src, query_name="tsc")
+    try:
+        q.processAllAvailable()
+        # second micro-batch: drop more files into the source dir
+        half2.write.mode("append").parquet(src)
+        q.processAllAvailable()
+        want = {r["user_id"]: (r["n"], round(r["s"], 2))
+                for r in events.groupBy("user_id").agg(
+                    F.count("*").alias("n"), F.sum("value").alias("s")).collect()}
+        # memory sink in update mode appends rows; keep the max-count row
+        final = {}
+        for r in spark.sql("SELECT * FROM tsc").collect():
+            u = r["user_id"]
+            if u not in final or r["n_events"] > final[u][0]:
+                final[u] = (r["n_events"], r["sum_value"])
+        assert set(final) == set(want)
+        for u in want:
+            assert final[u][0] == want[u][0]
+            assert abs(final[u][1] - want[u][1]) < 0.05
+    finally:
+        q.stop()
