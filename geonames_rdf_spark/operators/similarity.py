@@ -131,3 +131,83 @@ def pairwise_topk_per_label(embeddings: DataFrame, k: int = 3,
         .filter(F.col("rn") <= k)
         .select("id_a", "id_b", "cosine", "rn")
     )
+
+
+# --- IVF (inverted-file) ANN: the coarse-quantizer scale path --------------
+
+def ivf_assign(embeddings: DataFrame, centroids: list[list[float]],
+               vec_col: str = "embedding") -> DataFrame:
+    """Assign each vector to its nearest centroid (squared-L2 argmin over
+    a broadcast centroid list — pure Column fold, no UDF)."""
+    def sq_dist(c: list[float]) -> Column:
+        lit = F.array(*[F.lit(float(x)) for x in c])
+        diff = F.zip_with(F.col(vec_col).cast("array<double>"), lit,
+                          lambda a, b: (a - b) * (a - b))
+        return F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x)
+
+    best_idx = F.lit(0)
+    best_d = sq_dist(centroids[0])
+    for i, c in enumerate(centroids[1:], start=1):
+        d = sq_dist(c)
+        cond = d < best_d
+        best_idx = F.when(cond, F.lit(i)).otherwise(best_idx)
+        best_d = F.when(cond, d).otherwise(best_d)
+    return embeddings.withColumn("_cell", best_idx)
+
+
+def train_ivf_centroids(embeddings: DataFrame, k: int = 8, iters: int = 2,
+                        vec_col: str = "embedding",
+                        id_col: str = "vec_id") -> list[list[float]]:
+    """Deterministic Lloyd refinement: seed with the k lowest-id vectors,
+    then ``iters`` rounds of assign + per-cell element-wise mean (the mean
+    is an array-fold aggregation — one shuffle per round, no MLlib)."""
+    seeds = (embeddings.orderBy(id_col).limit(k)
+             .select(vec_col).collect())
+    centroids = [[float(x) for x in r[vec_col]] for r in seeds]
+    dim = len(centroids[0])
+    for _ in range(iters):
+        assigned = ivf_assign(embeddings, centroids, vec_col)
+        means = (
+            assigned.groupBy("_cell")
+            .agg(
+                *[F.avg(F.col(vec_col)[i].cast("double")).alias(f"m{i}")
+                  for i in range(dim)]
+            )
+            .collect()
+        )
+        for r in means:
+            centroids[r["_cell"]] = [r[f"m{i}"] for i in range(dim)]
+    return centroids
+
+
+def ann_ivf_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
+                 centroids: list[list[float]] | None = None,
+                 n_cells: int = 8, nprobe: int = 2,
+                 vec_col: str = "embedding",
+                 id_col: str = "vec_id") -> DataFrame:
+    """IVF ANN: restrict the exact cosine re-rank to the ``nprobe`` cells
+    whose centroids are nearest the query.  At corpus scale the cell
+    assignment is a stored partition column (partition pruning makes the
+    probe a metadata operation); here it is computed inline.
+    Output schema matches ``cosine_topk``."""
+    import math
+
+    if centroids is None:
+        centroids = train_ivf_centroids(embeddings, k=n_cells,
+                                        vec_col=vec_col, id_col=id_col)
+
+    def sq(c):
+        return sum((a - b) * (a - b) for a, b in zip(c, query_vec))
+
+    probe = sorted(range(len(centroids)), key=lambda i: sq(centroids[i]))[:nprobe]
+    assigned = ivf_assign(embeddings, centroids, vec_col)
+    q = _query_lit(query_vec)
+    return (
+        assigned.filter(F.col("_cell").isin(*probe))
+        .select(
+            F.col(id_col),
+            F.round(cosine_expr(F.col(vec_col), q), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )

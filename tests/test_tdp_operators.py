@@ -133,3 +133,20 @@ def test_multimodal_plumbing(spark):
     assert bad.count() == 0
     fs = multimodal.frame_sample_plan(media, every_ms=400)
     assert fs.count() > 0
+
+
+def test_ivf_ann(emb):
+    centroids = similarity.train_ivf_centroids(emb, k=8, iters=2)
+    assert len(centroids) == 8 and len(centroids[0]) == 64
+    q = [float(x) for x in emb.filter("vec_id = 11").first()["embedding"]]
+    exact = [r["vec_id"] for r in similarity.cosine_topk(emb, q, k=5).collect()]
+    approx = {r["vec_id"]
+              for r in similarity.ann_ivf_topk(emb, q, k=5, centroids=centroids,
+                                               nprobe=3).collect()}
+    assert 11 in approx                 # the query's own cell is probed
+    assert len(set(exact) & approx) >= 1
+    # determinism: same centroids, same result
+    again = {r["vec_id"]
+             for r in similarity.ann_ivf_topk(emb, q, k=5, centroids=centroids,
+                                              nprobe=3).collect()}
+    assert approx == again
