@@ -215,6 +215,15 @@ def _q_knn_label(spark, sf_dir):
     return similarity.pairwise_topk_per_label(_emb(spark, sf_dir), k=3)
 
 
+def _q_ann_ivf(spark, sf_dir):
+    from geonames_rdf_spark.operators import similarity
+
+    e = _emb(spark, sf_dir)
+    q = e.filter("vec_id = 0").select("embedding").first()["embedding"]
+    return similarity.ann_ivf_topk(e, [float(x) for x in q], k=10,
+                                   n_cells=8, nprobe=3)
+
+
 def _q_minhash(spark, sf_dir):
     from geonames_rdf_spark.operators import dedup
 
@@ -295,6 +304,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": _q_emb_neardup,
         "ann_cosine_topk": _q_ann_topk,
         "ann_knn_per_label": _q_knn_label,
+        "ann_ivf_topk": _q_ann_ivf,
         "pipeline_mentions": _q_pipe_mentions,
         "pipeline_linked": _q_pipe_linked,
         "pipeline_kg_triples": _q_pipe_triples,
