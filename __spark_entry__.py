@@ -269,7 +269,14 @@ def _q_events_windowed(spark, sf_dir):
 def _q_events_sessionize(spark, sf_dir):
     from geonames_rdf_spark.streaming import events as ev
 
-    return ev.sessionize(_events(spark, sf_dir))
+    out = ev.sessionize(_events(spark, sf_dir))
+    # surface ts as epoch microseconds: pandas timestamp units differ
+    # between engines (ns vs us) even when values are identical
+    return out.select(
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("ts_us"),
+        "user_id", "event_type", "value", "props", "session_seq", "session_id",
+    )
 
 
 def _q_events_approx(spark, sf_dir):

@@ -534,8 +534,8 @@ def _occ(expr: str, needle: str) -> str:
 
 def tdp_sql() -> dict[str, str]:
     """DuckDB twins for the oracle-checkable training-data operators."""
-    tok = ("CASE WHEN length(trim(text)) = 0 THEN 0 "
-           "ELSE len(string_split_regex(trim(text), '\\s+')) END")
+    tok = ("CAST(CASE WHEN length(trim(text)) = 0 THEN 0 "
+           "ELSE len(string_split_regex(trim(text), '\\s+')) END AS INT)")
     strip = lambda pat: (  # noqa: E731
         f"length(text) - length(regexp_replace(text, '{pat}', '', 'g'))"
     )
@@ -547,7 +547,7 @@ def tdp_sql() -> dict[str, str]:
     strip_upper = strip("[^A-Z]")
     quality_features = f"""
 SELECT doc_id,
-  length(text) AS n_chars,
+  CAST(length(text) AS INT) AS n_chars,
   {tok} AS n_tokens,
   round(length(text) / greatest({tok}, 1), 4) AS mean_token_len,
   round(({strip_punct}) / greatest(length(text), 1), 4) AS punct_ratio,
@@ -568,7 +568,7 @@ FROM documents
         lang_case = (f"CASE WHEN s_{lang} > 0 AND s_{lang} = {best} "
                      f"THEN '{lang}' ELSE {lang_case} END")
     lang_id = f"""
-SELECT doc_id, {lang_case} AS lang_pred, {best} AS marker_hits
+SELECT doc_id, {lang_case} AS lang_pred, CAST({best} AS INT) AS marker_hits
 FROM (
   SELECT doc_id,
     {", ".join(f"({expr}) AS s_{lang}" for lang, expr in lang_scores.items())}
@@ -596,7 +596,7 @@ ORDER BY cosine DESC, e.vec_id ASC
 LIMIT 10
 """
     knn_label = """
-SELECT id_a, id_b, cosine, rn FROM (
+SELECT id_a, id_b, cosine, CAST(rn AS INT) AS rn FROM (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
     round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                  CAST(b.embedding AS DOUBLE[])), 6) AS cosine,
@@ -636,7 +636,7 @@ FROM events
 GROUP BY date_trunc('hour', ts), event_type
 """
     sessionize = """
-SELECT event_id, ts, user_id, event_type, value, props, session_seq,
+SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props, session_seq,
        CAST(user_id AS STRING) || '-' || CAST(session_seq AS STRING) AS session_id
 FROM (
   SELECT *, CAST(SUM(new_session) OVER (
