@@ -220,8 +220,11 @@ def _q_ann_ivf(spark, sf_dir):
 
     e = _emb(spark, sf_dir)
     q = e.filter("vec_id = 0").select("embedding").first()["embedding"]
+    # fixed deterministic centroids => the full IVF probe is DuckDB-
+    # replayable (Lloyd-trained centroids stay pytest-covered)
+    cents = similarity.fixed_centroids(8, len(q))
     return similarity.ann_ivf_topk(e, [float(x) for x in q], k=10,
-                                   n_cells=8, nprobe=3)
+                                   centroids=cents, nprobe=3)
 
 
 def _q_minhash(spark, sf_dir):
@@ -282,7 +285,11 @@ def _q_events_sessionize(spark, sf_dir):
 def _q_events_approx(spark, sf_dir):
     from geonames_rdf_spark.streaming import events as ev
 
-    return ev.approx_event_stats(_events(spark, sf_dir))
+    # exact-accuracy twin of approx_event_stats: same percentile_approx
+    # operator with accuracy >= group size => value-identical to DuckDB
+    # quantile_disc, so the sketch path is hash-certified (the HLL/GK
+    # low-accuracy variant stays pinned by pytest accuracy bounds)
+    return ev.quantile_event_stats(_events(spark, sf_dir))
 
 
 def _with_defaults(fn):
@@ -343,6 +350,7 @@ def oracle_sql() -> dict[str, str]:
         **oracle.workload_sql(),
         **oracle.tdp_sql(),
         **oracle.streaming_sql(),
+        **oracle.pipeline_sql(),
         "gaz_best_names": (
             p + "\nSELECT geonameid, bestNameCandidate FROM best"
         ),

@@ -83,14 +83,18 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
     )
 
 
-def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16) -> DataFrame:
+def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16,
+                        n_hashes: int = 64) -> DataFrame:
     """Band the signatures, bucket-join, emit candidate (id_a < id_b) pairs.
 
     One shuffle keyed by (band, bucket-hash); hot buckets are bounded by
     band width, and the join is within-bucket only — the LSH trick that
     makes near-dup detection linear-ish at corpus scale.
+
+    ``n_hashes`` is a parameter (the caller that built the signatures
+    knows it) — probing the data with ``first()`` would run an eager job
+    re-executing the signature stage and crash on an empty corpus.
     """
-    n_hashes = len(sigs.select("sig").first()["sig"])
     rows_per_band = n_hashes // bands
     banded = sigs.select(
         "id",
@@ -135,9 +139,14 @@ def minhash_near_dups(docs: DataFrame, threshold: float = 0.6,
                       text_col: str = "text", id_col: str = "doc_id",
                       k: int = 3, n_hashes: int = 64,
                       bands: int = 16) -> DataFrame:
-    """Full MinHash+LSH near-dup pipeline: (id_a, id_b, est_jaccard)."""
-    sigs = minhash_signatures(docs, text_col, id_col, k, n_hashes)
-    pairs = lsh_candidate_pairs(sigs, bands)
+    """Full MinHash+LSH near-dup pipeline: (id_a, id_b, est_jaccard).
+
+    The signature table feeds two consumers (banding + the similarity
+    verify join) — persist it so the mapInPandas shingling stage runs
+    once, not three times.
+    """
+    sigs = minhash_signatures(docs, text_col, id_col, k, n_hashes).persist()
+    pairs = lsh_candidate_pairs(sigs, bands, n_hashes=n_hashes)
     return minhash_similarity(sigs, pairs).filter(
         F.col("est_jaccard") >= threshold
     )
@@ -176,16 +185,30 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text",
 
 def simhash_near_dups(docs: DataFrame, max_hamming: int = 3,
                       text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Near-dups by SimHash: candidates share one of 4 16-bit chunks
-    (pigeonhole: hamming<=3 over 64 bits => some chunk identical), then
-    exact popcount filter.  (id_a, id_b, hamming)."""
+    """Near-dups by SimHash: candidates share one of ``max_hamming + 1``
+    bit chunks (pigeonhole: hamming <= h over a partition of the 64 bits
+    into h+1 disjoint chunks => some chunk is identical — the banding is
+    COMPLETE for any radius), then exact popcount filter.
+    (id_a, id_b, hamming).  Default h=3 gives the classic 4x16-bit split.
+    """
+    if not 0 <= max_hamming < 64:
+        raise ValueError(f"max_hamming must be in [0, 64), got {max_hamming}")
+    n_chunks = max_hamming + 1
+    width = 64 // n_chunks
     sigs = simhash_signatures(docs, text_col, id_col)
+
+    def chunk_expr(i: int):
+        # last chunk absorbs the 64 % n_chunks remainder bits so the
+        # partition covers all 64 bits (required for the recall guarantee)
+        w = width if i < n_chunks - 1 else 64 - i * width
+        mask = (1 << w) - 1
+        return F.shiftrightunsigned(
+            F.col("simhash"), i * width).bitwiseAND(F.lit(mask))
+
     chunks = sigs.select(
         "id", "simhash",
-        F.posexplode(F.array(*[
-            F.shiftrightunsigned(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF))
-            for i in range(4)
-        ])).alias("chunk_idx", "chunk"),
+        F.posexplode(F.array(*[chunk_expr(i) for i in range(n_chunks)]))
+        .alias("chunk_idx", "chunk"),
     )
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (
@@ -234,14 +257,26 @@ def ngram_jaccard(docs: DataFrame, pairs: DataFrame, k: int = 3,
 def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95,
                         vec_col: str = "embedding",
                         id_col: str = "vec_id",
-                        planes: int = 16) -> DataFrame:
+                        planes: int = 16,
+                        dim: int | None = None) -> DataFrame:
     """Embedding-cosine near-dup via hyperplane-LSH candidates + exact
-    cosine verify.  (id_a, id_b, cosine)."""
+    cosine verify.  (id_a, id_b, cosine).
+
+    ``dim`` defaults to sampling one row (tiny setup job); pass it
+    explicitly in pipelines where the width is known.  ``lsh_bucket``
+    raises on any row whose width disagrees — a silent mismatch would
+    NULL the hyperplane dots and collapse every vector into bucket 0."""
     from geonames_rdf_spark.operators.similarity import cosine_expr, lsh_bucket
 
+    if dim is None:
+        row = embeddings.select(F.size(vec_col).alias("d")).first()
+        if row is None:
+            dim = 0  # empty corpus: no rows, any dim yields an empty result
+        else:
+            dim = int(row["d"])
     sig = embeddings.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+        lsh_bucket(F.col(vec_col), planes, dim=dim).alias("bucket"),
     )
     a, b = sig.alias("a"), sig.alias("b")
     cand = (

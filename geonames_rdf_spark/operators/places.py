@@ -102,8 +102,10 @@ def feature_entities(
                 ),
             ),
         )
-        .withColumn("lat_lex", F.col("latitude").cast("decimal(8,2)").cast("string"))
-        .withColumn("long_lex", F.col("longitude").cast("decimal(8,2)").cast("string"))
+        # decimal(10,5): real GeoNames coordinates carry 5 decimals
+        # (places.rq:83-84 emits the raw lexical form; SURVEY §1.2)
+        .withColumn("lat_lex", F.col("latitude").cast("decimal(10,5)").cast("string"))
+        .withColumn("long_lex", F.col("longitude").cast("decimal(10,5)").cast("string"))
         # Altitude: elevation else dem (places.rq:91-94)
         .withColumn("alt_lex", F.coalesce(F.col("elevation"), F.col("dem")).cast("string"))
         .withColumn(

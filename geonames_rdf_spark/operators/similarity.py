@@ -63,7 +63,11 @@ def cosine_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
 
 
 def lsh_bucket(vec: Column, planes: int = 16, dim: int = 64) -> Column:
-    """Hyperplane signature: bit i = sign(vec . plane_i); returns bigint."""
+    """Hyperplane signature: bit i = sign(vec . plane_i); returns bigint.
+
+    Hard-fails on rows whose vector width != ``dim``: zip_with would pad
+    with nulls, NULL every dot product, and silently hash every vector to
+    bucket 0 (degrading the candidate join to all-pairs)."""
     bits = []
     for i in range(planes):
         p = F.array(*[F.lit(v) for v in _unit(i, dim)])
@@ -73,7 +77,12 @@ def lsh_bucket(vec: Column, planes: int = 16, dim: int = 64) -> Column:
     out = bits[0]
     for b in bits[1:]:
         out = out + b
-    return out.cast("bigint")
+    return F.when(F.size(vec) == dim, out.cast("bigint")).otherwise(
+        F.raise_error(F.concat(
+            F.lit(f"lsh_bucket: expected embedding dim {dim}, got "),
+            F.size(vec).cast("string"),
+        )).cast("bigint")
+    )
 
 
 def ann_lsh_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
@@ -83,8 +92,10 @@ def ann_lsh_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
     bucket is within ``probe_hamming`` bits of the query's bucket
     (multi-probe).  Same output schema as ``cosine_topk``."""
     q = _query_lit(query_vec)
-    qsig = lsh_bucket(q, planes)
-    sig = embeddings.withColumn("_bucket", lsh_bucket(F.col(vec_col), planes))
+    dim = len(query_vec)  # the query defines the expected width
+    qsig = lsh_bucket(q, planes, dim=dim)
+    sig = embeddings.withColumn(
+        "_bucket", lsh_bucket(F.col(vec_col), planes, dim=dim))
     near = F.bit_count(
         F.col("_bucket").bitwiseXOR(qsig)
     ) <= probe_hamming
@@ -131,6 +142,18 @@ def pairwise_topk_per_label(embeddings: DataFrame, k: int = 3,
         .filter(F.col("rn") <= k)
         .select("id_a", "id_b", "cosine", "rn")
     )
+
+
+def fixed_centroids(k: int = 8, dim: int = 64, scale: float = 0.25) -> list[list[float]]:
+    """Deterministic md5-derived coarse-quantizer centroids (no training).
+
+    The IVF *partitioning* doesn't need trained centroids to be correct —
+    any fixed point set defines valid cells — and fixed centroids make the
+    whole IVF query oracle-expressible (DuckDB replays the same constants).
+    ``scale`` matches the synthetic embedding range (~[-0.5, 0.5]).
+    Trained (Lloyd) centroids remain available via ``train_ivf_centroids``.
+    """
+    return [[v * scale for v in _unit(1000 + i, dim)] for i in range(k)]
 
 
 # --- IVF (inverted-file) ANN: the coarse-quantizer scale path --------------

@@ -11,6 +11,9 @@ an oracle should be.
 
 from __future__ import annotations
 
+import hashlib
+import struct
+
 from geonames_rdf_spark import synth
 
 SWS = "https://sws.geonames.org/"
@@ -94,8 +97,8 @@ wide0 AS (
     CASE WHEN f.feature_code IS NOT NULL AND f.feature_code <> ''
          THEN '{GN}' || f.feature_class || '.' || f.feature_code
          END AS feature_code_iri,
-    CAST(CAST(f.latitude AS DECIMAL(8,2)) AS STRING) AS lat_lex,
-    CAST(CAST(f.longitude AS DECIMAL(8,2)) AS STRING) AS long_lex,
+    CAST(CAST(f.latitude AS DECIMAL(10,5)) AS STRING) AS lat_lex,
+    CAST(CAST(f.longitude AS DECIMAL(10,5)) AS STRING) AS long_lex,
     CAST(COALESCE(f.elevation, f.dem) AS STRING) AS alt_lex,
     'https://www.geonames.org/' || CAST(f.geonameid AS STRING) || '/'
       || REPLACE(REPLACE(LOWER(f.asciiname), ',', ''), ' ', '-') || '.html'
@@ -610,6 +613,7 @@ SELECT id_a, id_b, cosine, CAST(rn AS INT) AS rn FROM (
 ) WHERE rn <= 3
 """
     return {
+        **neardup_sql(),
         "text_token_count": (
             f"SELECT doc_id, {tok} AS n_tokens FROM documents"
         ),
@@ -622,6 +626,351 @@ SELECT id_a, id_b, cosine, CAST(rn AS INT) AS rn FROM (
         "dedup_exact": dedup_exact,
         "ann_cosine_topk": ann_topk,
         "ann_knn_per_label": knn_label,
+    }
+
+
+# --- web-pipeline oracles ---------------------------------------------------
+#
+# The north-star path (synthesize pages -> Aho-Corasick mention scan ->
+# candidate scoring -> argmax link -> mention triples) replayed in pure
+# SQL: the page corpus is a pure arithmetic function of the page id
+# (pipeline/corpus.py), the mention scan is "all occurrences of every
+# gazetteer surface with word-boundary guards" (an AC automaton is an
+# *algorithm* for that spec, not part of its semantics), and the linker is
+# a deterministic argmax.  Verified row-identical to the Spark pipeline.
+
+_CORPUS_MIX = 2654435761  # pipeline/corpus.py MIX (Knuth constant)
+_N_PAGES = 500            # __spark_entry__ pipeline queries use n_pages=500
+
+
+def _mix_step(h: str, x: str) -> str:
+    return (f"((xor(({h})::BIGINT, ({x})::BIGINT)::HUGEINT"
+            f" * {_CORPUS_MIX}) % 4294967296)::BIGINT")
+
+
+def _pages_ctes(n_pages: int = _N_PAGES) -> str:
+    """CTEs: gazetteer surfaces -> deterministic page corpus -> mention
+    occurrences (begin offsets with word-boundary guards).  Appends to
+    ``kg_prefix()`` (needs the ``fbn`` CTE)."""
+    r = _mix_step(_mix_step(_mix_step("0", "i"), "j"), "17")
+    return f"""
+surf AS (
+  SELECT DISTINCT bestName FROM fbn
+  WHERE bestName IS NOT NULL AND bestName <> ''
+),
+toplist AS (
+  SELECT list(bestName ORDER BY bestName) AS sl
+  FROM (SELECT bestName FROM surf ORDER BY bestName LIMIT 5000)
+),
+pagemid AS (
+  SELECT i, ['en','en','en','de','fr'][CAST(i % 5 AS INT) + 1] AS lang,
+    array_to_string(
+      [CASE WHEN {r} % 10 < 4 THEN t.sl[CAST({r} % 2 AS INT) + 1]
+            ELSE t.sl[CAST({r} % len(t.sl) AS INT) + 1] END
+       for j in range(2 + (i % 3))], ' and ') AS m
+  FROM (SELECT unnest(range({n_pages})) AS i) CROSS JOIN toplist t
+),
+pages AS (
+  SELECT 'https://example.org/' || lang || '/page-' || CAST(i AS VARCHAR)
+           || '.html' AS url,
+    lang,
+    CASE lang
+      WHEN 'en' THEN 'Page ' || CAST(i AS VARCHAR) || ' reports on ' || m
+        || '. Officials said the plan was fine.'
+      WHEN 'de' THEN 'Seite ' || CAST(i AS VARCHAR) || ' berichtet ueber '
+        || m || '. Beamte nannten den Plan gut.'
+      ELSE 'La page ' || CAST(i AS VARCHAR) || ' parle de ' || m
+        || '. Les autorites ont approuve le plan.'
+    END AS text
+  FROM pagemid
+),
+occ AS (
+  SELECT p.url, p.lang, p.text, s.bestName AS surface,
+    unnest([pos - 1 for pos in range(1, length(p.text) - length(s.bestName) + 2)
+            if substr(p.text, CAST(pos AS INT), length(s.bestName)) = s.bestName
+            AND (pos = 1 OR NOT regexp_matches(
+                  substr(p.text, CAST(pos AS INT) - 1, 1), '[a-zA-Z0-9]'))
+            AND (pos + length(s.bestName) > length(p.text)
+                 OR NOT regexp_matches(
+                      substr(p.text, CAST(pos + length(s.bestName) AS INT), 1),
+                      '[a-zA-Z0-9]'))
+           ]) AS begin
+  FROM pages p JOIN surf s ON contains(p.text, s.bestName)
+)
+"""
+
+
+_SCORED_CTE = """
+scored AS (
+  SELECT o.url, o.surface, o.begin, o.begin + length(o.surface) AS e_end,
+         f.geonameid,
+         round(log10(COALESCE(f.population, 0) + 1), 6)
+         + CASE WHEN f.country_code =
+                     ('C' || CASE o.lang WHEN 'en' THEN '0' WHEN 'de' THEN '1'
+                                         WHEN 'fr' THEN '2' END)
+                THEN 2.0 ELSE 0.0 END AS s
+  FROM occ o JOIN fbn f ON o.surface = f.bestName
+)
+"""
+
+_LINKED_BODY = """
+SELECT url, surface, CAST(begin AS INT) AS begin, CAST(e_end AS INT) AS "end",
+       geonameid, round(s, 6) AS score
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY url, begin, surface
+                                   ORDER BY s DESC, geonameid ASC) AS rn
+      FROM scored)
+WHERE rn = 1
+"""
+
+
+def pipeline_sql() -> dict[str, str]:
+    mentions = (
+        kg_prefix() + ",\n" + _pages_ctes().strip() + """
+SELECT o.url, o.surface, CAST(o.begin AS INT) AS begin,
+       CAST(o.begin + length(o.surface) AS INT) AS "end",
+       f.geonameid AS candidate, o.lang
+FROM occ o JOIN (SELECT DISTINCT bestName, geonameid FROM fbn) f
+  ON o.surface = f.bestName
+"""
+    )
+    linked = (
+        kg_prefix() + ",\n" + _pages_ctes().strip() + ",\n"
+        + _SCORED_CTE.strip() + _LINKED_BODY
+    )
+    triples = (
+        kg_cte() + ",\n" + _pages_ctes().strip() + ",\n"
+        + _SCORED_CTE.strip() + """,
+linked AS (
+  SELECT url, geonameid
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY url, begin, surface
+                                     ORDER BY s DESC, geonameid ASC) AS rn
+        FROM scored)
+  WHERE rn = 1
+)
+SELECT subj, pred, obj, obj_is_iri, obj_lang, obj_dt FROM kg
+UNION ALL
+SELECT DISTINCT url AS subj,
+       'http://www.geonames.org/ontology#locatedIn' AS pred,
+       'https://sws.geonames.org/' || CAST(geonameid AS VARCHAR) || '/' AS obj,
+       TRUE AS obj_is_iri, CAST(NULL AS VARCHAR) AS obj_lang,
+       CAST(NULL AS VARCHAR) AS obj_dt
+FROM linked
+"""
+    )
+    return {
+        "pipeline_mentions": mentions,
+        "pipeline_linked": linked,
+        "pipeline_kg_triples": triples,
+    }
+
+
+# --- near-dup / ANN oracles -------------------------------------------------
+#
+# All hashing in operators/dedup.py and operators/similarity.py is
+# md5-derived specifically so a second engine can replay it.  The SQL here
+# re-implements the algorithms (MinHash banding, SimHash sign-sum,
+# hyperplane LSH, IVF coarse quantization) from the same md5 primitive —
+# DuckDB has md5() + bit ops + list lambdas, nothing else is needed.
+
+MERSENNE = (1 << 31) - 1
+
+
+def _h64_py(s: str) -> int:
+    """Same seed derivation as operators.dedup._h64 (spec constant)."""
+    return struct.unpack("<Q", hashlib.md5(s.encode("utf-8")).digest()[:8])[0]
+
+
+def _h64_sql(expr: str) -> str:
+    """Little-endian first-8-bytes-of-md5 as UBIGINT, pure SQL.
+
+    byte_i = hex pair i of md5; value = sum byte_i * 256^i.  Verified
+    bit-identical to the Python/numpy implementation.
+    """
+    terms = []
+    for i in range(8):
+        hi = f"(strpos('0123456789abcdef', substr(md5({expr}), {2 * i + 1}, 1)) - 1)"
+        lo = f"(strpos('0123456789abcdef', substr(md5({expr}), {2 * i + 2}, 1)) - 1)"
+        terms.append(f"(({hi}*16 + {lo})::UBIGINT * {1 << (8 * i)}::UBIGINT)")
+    return "(" + " + ".join(terms) + ")"
+
+
+_TOKS = "list_filter(string_split_regex(COALESCE(text, ''), '\\s+'), t -> t <> '')"
+
+
+def _simhash_sql() -> str:
+    """Oracle for dedup.simhash_near_dups over documents + ' x' variants."""
+    return f"""
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000, text || ' x' FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest({_TOKS}) AS t FROM all_docs
+),
+th AS (SELECT doc_id, {_h64_sql('t')} AS h FROM tok),
+bits AS (
+  SELECT doc_id, bb.b AS b,
+         SUM(CASE WHEN (h >> bb.b::UBIGINT) & 1::UBIGINT = 1::UBIGINT
+                  THEN 1 ELSE -1 END) AS acc
+  FROM th CROSS JOIN (SELECT unnest(range(64)) AS b) bb
+  GROUP BY doc_id, bb.b
+),
+shx AS (
+  SELECT doc_id,
+         SUM(CASE WHEN acc > 0 THEN (1::HUGEINT << b::INT)
+                  ELSE 0::HUGEINT END)::HUGEINT AS shu
+  FROM bits GROUP BY doc_id
+),
+sh2 AS (
+  SELECT d.doc_id, COALESCE(s.shu, 0::HUGEINT)::UBIGINT AS shu
+  FROM all_docs d LEFT JOIN shx s USING (doc_id)
+),
+chunks AS (
+  SELECT doc_id, shu, ii.i AS chunk_idx,
+         (shu >> (16*ii.i)::UBIGINT) & 65535::UBIGINT AS chunk
+  FROM sh2 CROSS JOIN (SELECT unnest(range(4)) AS i) ii
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, a.shu AS sha, b.doc_id AS id_b, b.shu AS shb
+  FROM chunks a JOIN chunks b
+    ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sha, shb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sha, shb)) <= 3
+"""
+
+
+def _minhash_sql() -> str:
+    """Oracle for dedup.minhash_near_dups over documents + near variants.
+
+    Candidate generation groups on the exact band 4-tuple instead of the
+    xxhash64 bucket id Spark shuffles on — identical pair set barring a
+    64-bit hash collision between distinct tuples.
+    """
+    params = ", ".join(
+        f"({i}, {1 | _h64_py(f'minhash-a-{i}') % MERSENNE},"
+        f" {_h64_py(f'minhash-b-{i}') % MERSENNE})"
+        for i in range(64)
+    )
+    agree = "len(list_filter(range(64), j -> sa[j+1] = sb[j+1]))"
+    return f"""
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000, text || ' trailing token' FROM documents
+),
+params(i, a, b) AS (VALUES {params}),
+toks AS (
+  SELECT doc_id, {_TOKS} AS tk FROM all_docs
+),
+shing AS (
+  SELECT doc_id,
+    CASE WHEN len(tk) = 0 THEN []
+         WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+         ELSE list_distinct(
+           [array_to_string(tk[i+1:i+3], ' ') for i in range(len(tk)-2)])
+    END AS shl
+  FROM toks
+),
+xs AS (
+  SELECT doc_id,
+    CASE WHEN len(shl) = 0 THEN [0::UBIGINT]
+         ELSE list_transform(shl, s -> {_h64_sql('s')} % {MERSENNE}::UBIGINT)
+    END AS xl
+  FROM shing
+),
+xrow AS (SELECT doc_id, unnest(xl) AS x FROM xs),
+sigrow AS (
+  SELECT doc_id, p.i AS i,
+         MIN((p.a::UBIGINT * x + p.b::UBIGINT) % {MERSENNE}::UBIGINT)::BIGINT AS s
+  FROM xrow CROSS JOIN params p GROUP BY doc_id, p.i
+),
+sigs AS (SELECT doc_id, list(s ORDER BY i) AS sig FROM sigrow GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, sig, bb.b AS band,
+         array_to_string(sig[4*bb.b+1:4*bb.b+4], ',') AS key
+  FROM sigs CROSS JOIN (SELECT unnest(range(16)) AS b) bb
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, a.sig AS sa, b.doc_id AS id_b, b.sig AS sb
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, round({agree} / 64.0, 4) AS est_jaccard
+FROM cand WHERE round({agree} / 64.0, 4) >= 0.5
+"""
+
+
+def _embedding_neardup_sql(planes: int = 16, dim: int = 64,
+                           threshold: float = 0.99) -> str:
+    """Oracle for dedup.embedding_near_dups (hyperplane LSH + cosine)."""
+    from geonames_rdf_spark.operators.similarity import _unit
+
+    bits = []
+    for i in range(planes):
+        arr = "[" + ", ".join(repr(v) for v in _unit(i, dim)) + "]::DOUBLE[]"
+        bits.append(
+            f"CASE WHEN list_dot_product(v, {arr}) > 0 THEN {1 << i} ELSE 0 END"
+        )
+    bucket = "(" + " + ".join(bits) + ")"
+    return f"""
+WITH all_e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, CAST(embedding AS DOUBLE[]) FROM embeddings
+),
+sig AS (SELECT vec_id, v, {bucket} AS bucket FROM all_e)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {threshold}
+"""
+
+
+def _ann_ivf_sql(n_cells: int = 8, nprobe: int = 3, k: int = 10,
+                 dim: int = 64) -> str:
+    """Oracle for similarity.ann_ivf_topk with the FIXED deterministic
+    centroids (similarity.fixed_centroids) — no Lloyd training, so the
+    whole probe is replayable: assign = first-index argmin of squared L2,
+    probe = nprobe nearest cells to the query, exact cosine re-rank."""
+    from geonames_rdf_spark.operators.similarity import fixed_centroids
+
+    cents = fixed_centroids(n_cells, dim)
+    cl = "[" + ", ".join(
+        "[" + ", ".join(repr(v) for v in c) + "]::DOUBLE[]" for c in cents
+    ) + "]"
+    sqd = ("list_transform({cl}, c -> list_sum(list_transform(range({dim}),"
+           " j -> ({v}[j+1] - c[j+1]) * ({v}[j+1] - c[j+1]))))")
+    return f"""
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+),
+cell AS (
+  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v,
+         {sqd.format(cl=cl, dim=dim, v="CAST(e.embedding AS DOUBLE[])")} AS dl
+  FROM embeddings e
+),
+qd AS (SELECT {sqd.format(cl=cl, dim=dim, v="qv")} AS dl FROM q),
+probe AS (
+  SELECT i FROM (
+    SELECT unnest(range({n_cells})) AS i, unnest(dl) AS d FROM qd
+  ) ORDER BY d, i LIMIT {nprobe}
+)
+SELECT c.vec_id, round(list_cosine_similarity(c.v, q.qv), 6) AS cosine
+FROM cell c CROSS JOIN q
+WHERE list_indexof(c.dl, list_min(c.dl)) - 1 IN (SELECT i FROM probe)
+ORDER BY cosine DESC, c.vec_id ASC
+LIMIT {k}
+"""
+
+
+def neardup_sql() -> dict[str, str]:
+    return {
+        "dedup_simhash": _simhash_sql(),
+        "dedup_minhash_lsh": _minhash_sql(),
+        "dedup_embedding_cosine": _embedding_neardup_sql(),
+        "ann_ivf_topk": _ann_ivf_sql(),
     }
 
 
@@ -652,7 +1001,18 @@ FROM (
   )
 )
 """
+    # exact discrete quantiles: Spark percentile_approx at accuracy >=
+    # group size == DuckDB quantile_disc (verified empirically at sf0.01)
+    approx = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+       quantile_disc(value, 0.5) AS q50,
+       quantile_disc(value, 0.95) AS q95,
+       quantile_disc(value, 0.99) AS q99,
+       COUNT(*) AS n
+FROM events GROUP BY event_type
+"""
     return {
         "events_windowed_stats": windowed,
         "events_sessionize": sessionize,
+        "events_approx_stats": approx,
     }

@@ -41,7 +41,11 @@ def link_mentions(
         )
     )
     m = mentions.join(attrs, "candidate", "left")
-    score = F.log10(F.col("_pop") + 1)
+    # round the PRIOR alone, then add the bonus — the exact arithmetic the
+    # fused scorer (mentions.detect_and_link) uses, so the two documented-
+    # equivalent paths pick the same candidate even on rounding-boundary
+    # populations (argmax compares prior_rounded + bonus in both)
+    score = F.round(F.log10(F.col("_pop") + 1), 6)
     has_lang = "lang" in mentions.columns
     if has_lang or pages is not None:
         if not has_lang:
@@ -52,14 +56,16 @@ def link_mentions(
         score = score + F.when(
             F.col("_cc") == lang_map[F.col("lang")], F.lit(2.0)
         ).otherwise(F.lit(0.0))
-    m = m.withColumn("score", F.round(score, 6))
+    m = m.withColumn("_s", score).withColumn("score", F.round(score, 6))
     # argmax: max_by over (score, -candidate) — highest score, then lowest
     # geonameid; struct comparison is lexicographic, aggregation is
     # partial-combinable (unlike a window sort)
     best = m.groupBy("url", "begin").agg(
         F.max_by(
             F.struct("surface", "end", "candidate", "score"),
-            F.struct(F.col("score"), (-F.col("candidate")).alias("_negid")),
+            # compare the UNROUNDED sum (like the fused scan); the emitted
+            # score is the rounded projection
+            F.struct(F.col("_s"), (-F.col("candidate")).alias("_negid")),
         ).alias("b")
     )
     return best.select(

@@ -47,10 +47,31 @@ def windowed_event_stats(events: DataFrame, minutes: int = 60) -> DataFrame:
 def approx_event_stats(events: DataFrame) -> DataFrame:
     """Approximate-distinct / quantile sketch demo (HLL++ and GK) — the
     operators a 100 TB rollup actually uses; accuracy pinned by pytest
-    (cross-engine sketches differ, so no DuckDB value-oracle)."""
+    (cross-engine sketches differ, so no DuckDB value-oracle).  Quantiles
+    are projected to scalar columns (an array column would defeat the
+    driver's pandas canonicalizer)."""
     return events.groupBy("event_type").agg(
         F.approx_count_distinct("user_id").alias("approx_users"),
-        F.percentile_approx("value", [0.5, 0.95, 0.99]).alias("value_q"),
+        F.percentile_approx("value", 0.5).alias("q50"),
+        F.percentile_approx("value", 0.95).alias("q95"),
+        F.percentile_approx("value", 0.99).alias("q99"),
+        F.count("*").alias("n"),
+    )
+
+
+def quantile_event_stats(events: DataFrame,
+                         accuracy: int = 1_000_000) -> DataFrame:
+    """Oracle-expressible twin of ``approx_event_stats``: with ``accuracy``
+    >= group size the GK sketch behind ``percentile_approx`` is *exact* and
+    returns the discrete quantile (== DuckDB ``quantile_disc``), and the
+    distinct count is exact.  Same physical operators as the sketch
+    version — the accuracy knob is the only difference — so the driver's
+    hash-compare can certify the sketch path end-to-end."""
+    return events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.percentile_approx("value", 0.5, accuracy).alias("q50"),
+        F.percentile_approx("value", 0.95, accuracy).alias("q95"),
+        F.percentile_approx("value", 0.99, accuracy).alias("q99"),
         F.count("*").alias("n"),
     )
 

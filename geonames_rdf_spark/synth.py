@@ -51,8 +51,8 @@ SELECT
   CASE WHEN k % 4 = 0 THEN 'Gross Ort ' || CAST(k AS STRING) || ', Alpha'
        ELSE 'ort-' || CAST(k AS STRING) END AS asciiname,
   '' AS alternatenames,
-  CAST((k * 37) % 17000 AS DOUBLE) / 100 - 85.0 AS latitude,
-  CAST((k * 73) % 35000 AS DOUBLE) / 100 - 175.0 AS longitude,
+  CAST((k * 37717) % 17000000 AS DOUBLE) / 100000 - 85.0 AS latitude,
+  CAST((k * 73649) % 35000000 AS DOUBLE) / 100000 - 175.0 AS longitude,
   CASE WHEN k < 110 THEN 'A'
        WHEN k % 17 = 0 THEN 'S'
        ELSE 'P' END AS feature_class,
