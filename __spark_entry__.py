@@ -76,8 +76,11 @@ def _q_kg_unconsolidated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_kg_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # feature triples only (no static block): this query isolates the
+    # post-hoc consolidation pass over the melt output
     raw = build.build_kg(spark, sf_dir, consolidate=False, include_docs=False,
-                         include_alt=False, include_ags=False)
+                         include_alt=False, include_ags=False,
+                         include_ontology=False)
     return consolidate.consolidate_triples(raw)
 
 
@@ -117,6 +120,13 @@ def _q_c5(spark, sf_dir):
     return workload.q_longest_names(_kg(spark, sf_dir), vocab.GN_OFFICIAL_NAME, "en")
 
 
+def _q_c5_all(spark, sf_dir):
+    from geonames_rdf_spark import vocab
+
+    return workload.q_longest_names_all_langs(
+        _kg(spark, sf_dir), vocab.GN_OFFICIAL_NAME)
+
+
 def _q_c8(spark, sf_dir):
     return workload.q_hierarchy_report(_kg(spark, sf_dir), oracle.SEED_PLACE)
 
@@ -126,9 +136,8 @@ def _q_c9(spark, sf_dir):
 
 
 def _q_c12(spark, sf_dir):
-    return workload.q_code_labels(
-        _kg(spark, sf_dir), workload.code_label_table(spark)
-    )
+    # joins against the concept block build_kg now unions into the KG
+    return workload.q_code_labels_in_kg(_kg(spark, sf_dir))
 
 
 # --- web-scale KG pipeline (north star; AC-UDF stages => rows-only checks) -
@@ -329,6 +338,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_descendants": _q_c4_desc,
         "c4_subdivision_edges": _q_c4_edges,
         "c5_longest_official_en": _q_c5,
+        "c5_longest_all_langs": _q_c5_all,
         "c8_hierarchy_report": _q_c8,
         "c9_museums_knn": _q_c9,
         "c12_code_labels": _q_c12,
@@ -382,6 +392,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_full": oracle.kg_sql(),
         "kg_unconsolidated": oracle.kg_sql(consolidated=False),
         "kg_posthoc_consolidate": oracle.kg_sql(
-            consolidated=True, docs=False, alt=False, ags=False
+            consolidated=True, docs=False, alt=False, ags=False,
+            ontology=False,
         ),
     }

@@ -31,7 +31,7 @@ def iri(term: Column | str) -> Column:
 def lit_typed(value: Column, dtype: str | None = None, lang: Column | None = None) -> Column:
     """Render a literal as canonical N-Triples: ``"v"``, ``"v"@lang``, ``"v"^^<dt>``."""
     esc = F.regexp_replace(
-        F.regexp_replace(value.cast("string"), r"\\", r"\\\\"), '"', '\\"'
+        F.regexp_replace(value.cast("string"), r"\\", r"\\\\"), '"', r'\\"'
     )
     base = F.concat(F.lit('"'), esc, F.lit('"'))
     if lang is not None:
@@ -45,7 +45,7 @@ def lit_typed(value: Column, dtype: str | None = None, lang: Column | None = Non
 
 def nt_term(obj: Column, obj_is_iri: Column, obj_lang: Column, obj_dt: Column) -> Column:
     """Canonical N-Triples term from the 4-column object representation."""
-    esc = F.regexp_replace(F.regexp_replace(obj, r"\\", r"\\\\"), '"', '\\"')
+    esc = F.regexp_replace(F.regexp_replace(obj, r"\\", r"\\\\"), '"', r'\\"')
     quoted = F.concat(F.lit('"'), esc, F.lit('"'))
     return (
         F.when(obj_is_iri, F.concat(F.lit("<"), obj, F.lit(">")))

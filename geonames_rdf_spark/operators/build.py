@@ -62,11 +62,26 @@ def build_kg(
     include_docs: bool = True,
     include_alt: bool = True,
     include_ags: bool = True,
+    include_ontology: bool = True,
     ags_country: str = "C0",
     replicate: int = 1,
+    tables: dict[str, DataFrame] | None = None,
 ) -> DataFrame:
-    """Full triple table: features ∪ documents ∪ alternate names ∪ AGS."""
-    t = gazetteer_tables(spark, sf_dir, replicate=replicate)
+    """Full triple table: features ∪ documents ∪ alternate names ∪ AGS
+    ∪ static ontology/property-definition block (the reference merges the
+    ontology and property-definitions.ttl into its final output —
+    consolidate.rq:60-64, docker-compose.yml:33-35).
+
+    ``tables``: pre-built ``gazetteer_tables`` output — pass it when the
+    caller already derived (and cached) the gazetteer so the whole
+    pre-shaping chain isn't re-derived per consumer (run_pipeline used to
+    pay it twice)."""
+    if tables is not None:
+        if replicate != 1:
+            raise ValueError("replicate requires deriving fresh tables")
+        t = tables
+    else:
+        t = gazetteer_tables(spark, sf_dir, replicate=replicate)
     wide = places.feature_entities(
         t["features"], t["country_codes"], t["admin_lookups"], t["hierarchy"]
     )
@@ -78,4 +93,8 @@ def build_kg(
     if include_ags:
         ags = preshape.ags_lookup(t["features"], t["ags_map"], country=ags_country)
         out = out.unionByName(altnames.ags_triples(ags))
+    if include_ontology:
+        from geonames_rdf_spark.sources import ontology
+
+        out = out.unionByName(ontology.ontology_triples(spark))
     return out

@@ -294,8 +294,10 @@ def kg_prefix() -> str:
 
 
 def kg_sql(consolidated: bool = True, docs: bool = True, alt: bool = True,
-           ags: bool = True) -> str:
+           ags: bool = True, ontology: bool = True) -> str:
     """Oracle for build.build_kg with matching flags."""
+    from geonames_rdf_spark.sources import ontology as ont
+
     parts = [_feat_triples(consolidated)]
     if docs:
         parts.append(DOC_TRIPLES.strip())
@@ -303,6 +305,8 @@ def kg_sql(consolidated: bool = True, docs: bool = True, alt: bool = True,
         parts.append(ALT_TRIPLES.strip())
     if ags:
         parts.append(AGS_TRIPLES.strip())
+    if ontology:
+        parts.append(ont.oracle_values_sql())
     body = "\nUNION ALL\n".join(parts)
     return f"{kg_prefix()}\n{body}"
 
@@ -311,9 +315,11 @@ def kg_sql(consolidated: bool = True, docs: bool = True, alt: bool = True,
 
 def kg_cte(recursive: bool = False) -> str:
     """Prolog + ``kg AS (<full triple union>)`` for workload queries."""
+    from geonames_rdf_spark.sources import ontology as ont
+
     body = "\nUNION ALL\n".join(
         [_feat_triples(True), DOC_TRIPLES.strip(), ALT_TRIPLES.strip(),
-         AGS_TRIPLES.strip()]
+         AGS_TRIPLES.strip(), ont.oracle_values_sql()]
     )
     prefix = kg_prefix()
     if recursive:
@@ -455,6 +461,16 @@ SELECT subj AS feature, obj AS name, obj_lang AS lang FROM (
 ) WHERE LENGTH(obj) = ml
 """
         ),
+        "c5_longest_all_langs": (
+            kg_cte() + f"""
+SELECT subj AS feature, obj AS name, obj_lang AS lang FROM (
+  SELECT subj, obj, obj_lang,
+         MAX(LENGTH(obj)) OVER (PARTITION BY subj, obj_lang) AS ml
+  FROM kg
+  WHERE pred = '{gn}officialName' AND obj_lang IS NOT NULL
+) WHERE LENGTH(obj) = ml
+"""
+        ),
         "c8_hierarchy_report": (
             kg_cte(recursive=True) + ",\n" + _ancestors_cte(SEED_PLACE).strip()
             + ",\n" + _ENT.strip()
@@ -502,18 +518,14 @@ WHERE m.parent = '{SEED_CITY}' AND m.feature_code = '{gn}S.MUS'
 """
         ),
         "c12_code_labels": (
-            kg_cte() + f""",
-labels(code_iri, label) AS (VALUES
-  ('{gn}A.PCLI', 'independent political entity'),
-  ('{gn}A.ADM1', 'first-order administrative division'),
-  ('{gn}A.ADM2', 'second-order administrative division'),
-  ('{gn}A.ADM3', 'third-order administrative division'),
-  ('{gn}A.ADM4', 'fourth-order administrative division'),
-  ('{gn}P.PPL', 'populated place'),
-  ('{gn}S.MUS', 'museum'))
-SELECT subj AS feature, obj AS code_iri, l.label
-FROM kg JOIN labels l ON kg.obj = l.code_iri
-WHERE pred = '{gn}featureCode'
+            kg_cte() + f"""
+SELECT k.subj AS feature, k.obj AS code_iri, l.obj AS label
+FROM kg k JOIN (
+  SELECT subj, obj FROM kg
+  WHERE pred = 'http://www.w3.org/2004/02/skos/core#prefLabel'
+    AND obj_lang = 'en'
+) l ON k.obj = l.subj
+WHERE k.pred = '{gn}featureCode'
 """
         ),
     }

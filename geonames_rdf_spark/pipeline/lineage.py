@@ -50,6 +50,8 @@ def run_with_lineage(
     page subset.  ``fail_after`` aborts after that many buckets (test hook
     simulating a crash mid-run).  Already-done buckets are skipped.
     """
+    from pyspark.sql import Observation
+
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     pages_b = pages.withColumn(
         "bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int")
@@ -61,17 +63,20 @@ def run_with_lineage(
             continue
         if fail_after is not None and processed >= fail_after:
             raise RuntimeError(f"simulated crash before bucket {b}")
-        subset = pages_b.filter(F.col("bucket") == b)
-        n_pages = subset.count()
+        # ONE job per bucket: page/triple counts ride the write itself as
+        # observe() metrics instead of a pre-count plus a re-read count
+        obs_pages = Observation(f"lineage_pages_{b}")
+        obs_triples = Observation(f"lineage_triples_{b}")
+        subset = pages_b.filter(F.col("bucket") == b).observe(
+            obs_pages, F.count(F.lit(1)).alias("n"))
         t = triples_for(subset.drop("bucket")).withColumn("bucket", F.lit(b))
+        t = t.observe(obs_triples, F.count(F.lit(1)).alias("n"))
         t.write.mode("overwrite").partitionBy("bucket").parquet(
             f"{out_dir}/triples"
         )
-        n_triples = spark.read.parquet(f"{out_dir}/triples").filter(
-            F.col("bucket") == b
-        ).count()
         row = spark.createDataFrame(
-            [(b, n_pages, None, n_triples, "done")], LINEAGE_SCHEMA
+            [(b, obs_pages.get["n"], None, obs_triples.get["n"], "done")],
+            LINEAGE_SCHEMA,
         )
         row.write.mode("append").parquet(f"{out_dir}/lineage")
         processed += 1

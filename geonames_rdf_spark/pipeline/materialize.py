@@ -41,6 +41,23 @@ def mention_triples(linked: DataFrame) -> DataFrame:
     )
 
 
+class PipelineStages(dict):
+    """Lazy stage map: each stage's plan — and, more importantly, its
+    driver-side surface-map ``collect`` — is built on FIRST ACCESS only.
+    A caller that consumes only ``linked`` never pays the staged
+    candidate-map collect that only ``mentions`` needs (and vice versa).
+    Behaves as a plain dict once a key is materialized."""
+
+    def __init__(self, factories):
+        super().__init__()
+        self._factories = factories
+
+    def __getitem__(self, key):
+        if not super().__contains__(key) and key in self._factories:
+            super().__setitem__(key, self._factories.pop(key)())
+        return super().__getitem__(key)
+
+
 def run_pipeline(
     spark: SparkSession,
     sf_dir: str,
@@ -48,19 +65,24 @@ def run_pipeline(
     include_feature_triples: bool = True,
     cache: bool = True,
     canonicalize_entities: bool = False,
-) -> dict[str, DataFrame]:
+) -> PipelineStages:
     """Full web-scale KG construction over a synthesized corpus.
 
     ``cache=True`` persists the dimension-sized feature table and the page
-    corpus: both feed multiple consumers (two driver collects + the link
-    join; mention scan + the lang join).  On a real deployment the corpus
-    is a storage table — the re-read is pruned columnar IO — but a
+    corpus: both feed multiple consumers (the surface-map collect + the
+    link scan; mention scan + the lang join).  On a real deployment the
+    corpus is a storage table — the re-read is pruned columnar IO — but a
     generated corpus would otherwise be re-synthesized per consumer.
+
+    The gazetteer is derived ONCE and threaded into ``build_kg`` (it used
+    to be re-derived inside the triple stage); stages are lazy, so each
+    driver-side collect happens only for consumers that need it.
     """
     tables = build.gazetteer_tables(spark, sf_dir)
     features = tables["features"]
     if cache:
         features = features.cache()
+        tables["features"] = features
 
     surfaces = corpus.gazetteer_surfaces(features)
     pages = corpus.synthesize_pages(spark, surfaces, n_pages)
@@ -69,38 +91,44 @@ def run_pipeline(
         "text", F.lit(None).cast("string")))
     if cache:
         pages = pages.cache()
-    # S3+S4 fused: broadcast Aho-Corasick with scored candidates; mention
-    # detection, scoring and per-mention argmax all inside the Arrow batch
-    # (candidate fan-out never shuffles).  The staged operators
-    # (detect_mentions + link_mentions) remain available for scoring
-    # features that cannot be broadcast; equivalence is test-pinned.
-    smap_scored = mentions.build_scored_surface_map(features)
-    linked = mentions.detect_and_link(pages, smap_scored)
-    # candidate-level mention stream via the staged operator — lazy; only
-    # evaluated when a caller actually consumes it
-    ment = mentions.detect_mentions(
-        pages, mentions.build_surface_map(features), carry_lang=True
-    )
-    # S5 (optional): sameAs clustering -> canonical-id rewrite of links
-    if canonicalize_entities:
-        from geonames_rdf_spark.pipeline import canonicalize
 
-        edges = canonicalize.sameas_edges(features)
-        mapping = canonicalize.canonical_map(edges)
-        linked = canonicalize.rewrite_links(linked, mapping)
-    # S6: triples
-    mt = mention_triples(linked)
-    out = mt
-    if include_feature_triples:
-        out = build.build_kg(spark, sf_dir).unionByName(mt)
-    # S2 used `features` for surfaces/map/link; mark it reusable for callers
-    tables["features"] = features
-    return {
-        "pages": pages,
-        "mentions": ment,
-        "linked": linked,
-        "triples": out,
-    }
+    stages = PipelineStages({})
+
+    def mk_linked() -> DataFrame:
+        # S3+S4 fused: broadcast matcher with scored candidates; mention
+        # detection, scoring and per-mention argmax all inside the Arrow
+        # batch (candidate fan-out never shuffles).  The staged operators
+        # (detect_mentions + link_mentions) remain available for scoring
+        # features that cannot be broadcast; equivalence is test-pinned.
+        linked = mentions.detect_and_link(
+            pages, mentions.build_scored_surface_map(features))
+        if canonicalize_entities:
+            # S5: sameAs clustering -> canonical-id rewrite of links
+            from geonames_rdf_spark.pipeline import canonicalize
+
+            edges = canonicalize.sameas_edges(features)
+            linked = canonicalize.rewrite_links(
+                linked, canonicalize.canonical_map(edges))
+        return linked
+
+    def mk_mentions() -> DataFrame:
+        # candidate-level mention stream via the staged operator
+        return mentions.detect_mentions(
+            pages, mentions.build_surface_map(features), carry_lang=True
+        )
+
+    def mk_triples() -> DataFrame:
+        mt = mention_triples(stages["linked"])
+        if include_feature_triples:
+            # reuse the already-derived (cached) gazetteer tables
+            return build.build_kg(spark, sf_dir, tables=tables).unionByName(mt)
+        return mt
+
+    stages._factories.update(
+        {"linked": mk_linked, "mentions": mk_mentions, "triples": mk_triples}
+    )
+    stages["pages"] = pages
+    return stages
 
 
 def to_ntriples(triples: DataFrame) -> DataFrame:

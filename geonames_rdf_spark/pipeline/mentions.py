@@ -15,7 +15,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from geonames_rdf_spark.pipeline.ahocorasick import AhoCorasick
+from geonames_rdf_spark.pipeline.matcher import build_matcher
 
 MENTION_SCHEMA = (
     "url string, surface string, begin int, end int, candidate bigint"
@@ -45,7 +45,7 @@ def detect_mentions(
     table — context rides the narrow mention stream instead.
     """
     spark = pages.sparkSession
-    bc = spark.sparkContext.broadcast(AhoCorasick(surface_map))
+    bc = spark.sparkContext.broadcast(build_matcher(surface_map))
     cols = ["url", "text"] + (["lang"] if carry_lang else [])
 
     def scan(batches):
@@ -114,7 +114,7 @@ def detect_and_link(pages, scored_map: dict[str, list[tuple[int, float, str]]],
 
     spark = pages.sparkSession
     bc = spark.sparkContext.broadcast(
-        (AhoCorasick({k: [] for k in scored_map}), scored_map)
+        (build_matcher({k: [] for k in scored_map}), scored_map)
     )
 
     def scan(batches):

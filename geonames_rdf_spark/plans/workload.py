@@ -175,6 +175,25 @@ def q_longest_names(triples: DataFrame, pred: str, lang_prefix: str) -> DataFram
     )
 
 
+def q_longest_names_all_langs(triples: DataFrame, pred: str) -> DataFrame:
+    """C5 generalized (hierarchy.rq:24-58 computes longest names per
+    (feature, ANY language) group): longest name per (subject, lang) with
+    ties kept — grouping key gains the language instead of pinning one
+    prefix.  Same single-shuffle window formulation."""
+    from pyspark.sql import Window
+
+    named = triples.filter(
+        (F.col("pred") == pred) & F.col("obj_lang").isNotNull()
+    )
+    w = Window.partitionBy("subj", "obj_lang")
+    return (
+        named.withColumn("maxlen", F.max(F.length("obj")).over(w))
+        .filter(F.length("obj") == F.col("maxlen"))
+        .select(F.col("subj").alias("feature"), F.col("obj").alias("name"),
+                F.col("obj_lang").alias("lang"))
+    )
+
+
 def q_hierarchy_report(triples: DataFrame, seed_uri: str) -> DataFrame:
     """C4+C5+C7+C8 composite (hierarchy.rq): the seed and its transitive
     parents, with feature code, coords, optional municipality key, longest
@@ -315,15 +334,36 @@ def q_code_labels(triples: DataFrame, labels: DataFrame) -> DataFrame:
 
 
 def code_label_table(spark) -> DataFrame:
-    """Static ontology label dimension (stand-in for the reference's
-    ontology_v3.3 skos:prefLabel concepts), deterministic."""
-    rows = [
-        (vocab.GN + "A.PCLI", "independent political entity"),
-        (vocab.GN + "A.ADM1", "first-order administrative division"),
-        (vocab.GN + "A.ADM2", "second-order administrative division"),
-        (vocab.GN + "A.ADM3", "third-order administrative division"),
-        (vocab.GN + "A.ADM4", "fourth-order administrative division"),
-        (vocab.GN + "P.PPL", "populated place"),
-        (vocab.GN + "S.MUS", "museum"),
-    ]
-    return spark.createDataFrame(rows, ["code_iri", "label"])
+    """Static ontology label dimension — the checked-in concept table
+    (sources/ontology.py, mirroring ontology_v3.3 skos:prefLabel@en)."""
+    from geonames_rdf_spark.sources import ontology
+
+    return spark.createDataFrame(
+        ontology.concept_labels(), ["code_iri", "label"])
+
+
+def q_code_labels_in_kg(triples: DataFrame) -> DataFrame:
+    """C12 against the ontology block INSIDE the triple table: feature
+    codes self-join to the skos:prefLabel@en concept rows that build_kg
+    now unions in (no external dimension needed — the merged-output shape
+    the reference serves after docker-compose.yml:33-35).
+
+    The label side is a tiny slice of the triple table — broadcast it so
+    the skewed code fan-out (every PPL row shares ~7 codes) never
+    shuffles."""
+    from geonames_rdf_spark.sources.ontology import SKOS_PREF_LABEL
+
+    codes = (
+        triples.filter(F.col("pred") == vocab.GN_FEATURE_CODE)
+        .select(F.col("subj").alias("feature"), F.col("obj").alias("code_iri"))
+    )
+    labels = (
+        triples.filter(
+            (F.col("pred") == F.lit(SKOS_PREF_LABEL))
+            & (F.col("obj_lang") == "en")
+        )
+        .select(F.col("subj").alias("code_iri"), F.col("obj").alias("label"))
+    )
+    return codes.join(F.broadcast(labels), "code_iri", "inner").select(
+        "feature", "code_iri", "label"
+    )

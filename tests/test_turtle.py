@@ -1,0 +1,77 @@
+"""Turtle sink golden tests (A6): prefix compaction, subject grouping,
+per-part headers, concat-validity (mirrors merge_rdf_files.sh output
+shape)."""
+
+from __future__ import annotations
+
+import glob
+
+from geonames_rdf_spark import vocab
+from geonames_rdf_spark.pipeline import turtle
+
+TRIPLES_SCHEMA = ("subj string, pred string, obj string, obj_is_iri boolean,"
+                  " obj_lang string, obj_dt string")
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, schema=TRIPLES_SCHEMA)
+
+
+def test_turtle_block_golden(spark):
+    s = vocab.SWS + "42/"
+    rows = [
+        (s, vocab.RDF_TYPE, vocab.GN_FEATURE, True, None, None),
+        (s, vocab.GN_NAME, 'Ber "lin', False, None, None),
+        (s, vocab.GN_OFFICIAL_NAME, "Berlin", False, "de", None),
+        (s, vocab.GN_POPULATION, "3600000", False, None, vocab.XSD_INTEGER),
+        (s, vocab.GN_PARENT_FEATURE, vocab.SWS + "7/", True, None, None),
+    ]
+    [row] = turtle.to_turtle(_df(spark, rows), sort=True).collect()
+    assert row["line"] == (
+        '<https://sws.geonames.org/42/> '
+        'a gn:Feature ;\n'
+        '    gn:name "Ber \\"lin" ;\n'
+        '    gn:officialName "Berlin"@de ;\n'
+        '    gn:parentFeature <https://sws.geonames.org/7/> ;\n'
+        '    gn:population "3600000"^^xsd:integer .'
+    )
+
+
+def test_turtle_prefix_compaction_rules(spark):
+    rows = [
+        # A.ADM1 local part has a medial dot -> still a valid pname
+        ("s1", vocab.GN_FEATURE_CODE, vocab.GN + "A.ADM1", True, None, None),
+        # trailing dot would be ambiguous -> stays an IRI ref
+        ("s1", vocab.RDFS_SEE_ALSO, vocab.GN + "bad.", True, None, None),
+        # unknown namespace stays an IRI ref
+        ("s1", vocab.RDFS_SEE_ALSO, "https://example.org/x", True, None, None),
+        # digit-leading local part is not a pname
+        ("s1", vocab.RDFS_SEE_ALSO, vocab.GN + "1abc", True, None, None),
+    ]
+    [row] = turtle.to_turtle(_df(spark, rows), sort=True).collect()
+    assert "gn:A.ADM1" in row["line"]
+    assert f"<{vocab.GN}bad.>" in row["line"]
+    assert "<https://example.org/x>" in row["line"]
+    assert f"<{vocab.GN}1abc>" in row["line"]
+
+
+def test_turtle_write_parts_are_valid_and_concatenable(spark, tmp_path):
+    rows = [
+        (vocab.SWS + f"{i}/", vocab.GN_NAME, f"n{i}", False, None, None)
+        for i in range(20)
+    ]
+    out = str(tmp_path / "ttl")
+    turtle.write_turtle(_df(spark, rows).repartition(3), out)
+    parts = sorted(glob.glob(out + "/part-*"))
+    assert parts
+    all_text = ""
+    for p in parts:
+        text = open(p).read()
+        if text.strip():
+            # every non-empty part is a standalone doc: header first
+            assert text.startswith("@prefix cc: <")
+        all_text += text
+    # concatenation keeps every subject block exactly once
+    assert all_text.count("gn:name") == 20
+    for i in range(20):
+        assert f"<{vocab.SWS}{i}/> gn:name \"n{i}\" ." in all_text
