@@ -258,6 +258,30 @@ def _q_simhash(spark, sf_dir):
     )
 
 
+def _q_ngram_jaccard(spark, sf_dir):
+    from geonames_rdf_spark.operators import dedup
+
+    # exact word-3-gram Jaccard verification over the MinHash candidate
+    # pairs (the block-then-verify second stage as its own query)
+    docs = _docs(spark, sf_dir)
+    near = docs.withColumn("doc_id", F.col("doc_id") + 2000000).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" trailing token")))
+    all_docs = docs.unionByName(near)
+    sigs = dedup.minhash_signatures(all_docs)
+    pairs = dedup.lsh_candidate_pairs(sigs).select(
+        F.col("id_a"), F.col("id_b"))
+    return dedup.ngram_jaccard(all_docs, pairs)
+
+
+def _q_ann_lsh(spark, sf_dir):
+    from geonames_rdf_spark.operators import similarity
+
+    e = _emb(spark, sf_dir)
+    q = e.filter("vec_id = 0").select("embedding").first()["embedding"]
+    return similarity.ann_lsh_topk(e, [float(x) for x in q], k=10,
+                                   planes=8, probe_hamming=1)
+
+
 def _q_emb_neardup(spark, sf_dir):
     from geonames_rdf_spark.operators import dedup
 
@@ -325,6 +349,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _q_minhash,
         "dedup_simhash": _q_simhash,
         "dedup_embedding_cosine": _q_emb_neardup,
+        "dedup_ngram_jaccard": _q_ngram_jaccard,
+        "ann_lsh_topk": _q_ann_lsh,
         "ann_cosine_topk": _q_ann_topk,
         "ann_knn_per_label": _q_knn_label,
         "ann_ivf_topk": _q_ann_ivf,

@@ -240,13 +240,20 @@ def ngram_jaccard(docs: DataFrame, pairs: DataFrame, k: int = 3,
                .withColumnRenamed("_text", "text_b"), "id_b")
     )
 
+    import math
+
+    def _round4(x: float) -> float:
+        # HALF_UP like Spark's F.round / DuckDB's round — Python's built-in
+        # round is banker's and disagrees on exact-halfway ratios (58/64)
+        return math.floor(x * 10000 + 0.5) / 10000
+
     def jac(batches):
         for pdf in batches:
             vals = []
             for ta, tb in zip(pdf["text_a"], pdf["text_b"]):
                 sa, sb = _shingles(ta or "", k), _shingles(tb or "", k)
                 u = len(sa | sb)
-                vals.append(round(len(sa & sb) / u, 4) if u else 1.0)
+                vals.append(_round4(len(sa & sb) / u) if u else 1.0)
             yield pdf[["id_a", "id_b"]].assign(jaccard=vals)
 
     return joined.mapInPandas(

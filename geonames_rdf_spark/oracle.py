@@ -977,12 +977,113 @@ LIMIT {k}
 """
 
 
+def _ngram_jaccard_sql() -> str:
+    """Oracle for dedup.ngram_jaccard over the MinHash LSH candidate
+    pairs: exact word-3-gram set Jaccard (the verify stage)."""
+    params = ", ".join(
+        f"({i}, {1 | _h64_py(f'minhash-a-{i}') % MERSENNE},"
+        f" {_h64_py(f'minhash-b-{i}') % MERSENNE})"
+        for i in range(64)
+    )
+    return f"""
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000, text || ' trailing token' FROM documents
+),
+params(i, a, b) AS (VALUES {params}),
+toks AS (
+  SELECT doc_id, {_TOKS} AS tk FROM all_docs
+),
+shing AS (
+  SELECT doc_id,
+    CASE WHEN len(tk) = 0 THEN []
+         WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+         ELSE list_distinct(
+           [array_to_string(tk[i+1:i+3], ' ') for i in range(len(tk)-2)])
+    END AS shl
+  FROM toks
+),
+xs AS (
+  SELECT doc_id,
+    CASE WHEN len(shl) = 0 THEN [0::UBIGINT]
+         ELSE list_transform(shl, s -> {_h64_sql('s')} % {MERSENNE}::UBIGINT)
+    END AS xl
+  FROM shing
+),
+xrow AS (SELECT doc_id, unnest(xl) AS x FROM xs),
+sigrow AS (
+  SELECT doc_id, p.i AS i,
+         MIN((p.a::UBIGINT * x + p.b::UBIGINT) % {MERSENNE}::UBIGINT)::BIGINT AS s
+  FROM xrow CROSS JOIN params p GROUP BY doc_id, p.i
+),
+sigs AS (SELECT doc_id, list(s ORDER BY i) AS sig FROM sigrow GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, bb.b AS band,
+         array_to_string(sig[4*bb.b+1:4*bb.b+4], ',') AS key
+  FROM sigs CROSS JOIN (SELECT unnest(range(16)) AS b) bb
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+j AS (
+  SELECT c.id_a, c.id_b,
+         len(list_filter(sa.shl, s -> list_contains(sb.shl, s))) AS inter,
+         len(sa.shl) + len(sb.shl)
+           - len(list_filter(sa.shl, s -> list_contains(sb.shl, s))) AS uni
+  FROM cand c
+  JOIN shing sa ON c.id_a = sa.doc_id
+  JOIN shing sb ON c.id_b = sb.doc_id
+)
+SELECT id_a, id_b,
+       CASE WHEN uni = 0 THEN 1.0 ELSE round(inter / uni, 4) END AS jaccard
+FROM j
+"""
+
+
+def _ann_lsh_sql(planes: int = 8, dim: int = 64, k: int = 10,
+                 probe_hamming: int = 1) -> str:
+    """Oracle for similarity.ann_lsh_topk (multi-probe hyperplane LSH)."""
+    from geonames_rdf_spark.operators.similarity import _unit
+
+    def bucket(col: str) -> str:
+        bits = []
+        for i in range(planes):
+            arr = "[" + ", ".join(repr(v) for v in _unit(i, dim)) + "]::DOUBLE[]"
+            bits.append(
+                f"CASE WHEN list_dot_product({col}, {arr}) > 0"
+                f" THEN {1 << i} ELSE 0 END"
+            )
+        return "(" + " + ".join(bits) + ")"
+
+    return f"""
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+),
+qb AS (SELECT {bucket("qv")} AS qbucket FROM q),
+sig AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         {bucket("CAST(embedding AS DOUBLE[])")} AS bucket
+  FROM embeddings
+)
+SELECT s.vec_id, round(list_cosine_similarity(s.v, q.qv), 6) AS cosine
+FROM sig s CROSS JOIN q CROSS JOIN qb
+WHERE bit_count(xor(s.bucket::BIGINT, qb.qbucket::BIGINT)) <= {probe_hamming}
+ORDER BY cosine DESC, s.vec_id ASC
+LIMIT {k}
+"""
+
+
 def neardup_sql() -> dict[str, str]:
     return {
         "dedup_simhash": _simhash_sql(),
         "dedup_minhash_lsh": _minhash_sql(),
         "dedup_embedding_cosine": _embedding_neardup_sql(),
+        "dedup_ngram_jaccard": _ngram_jaccard_sql(),
         "ann_ivf_topk": _ann_ivf_sql(),
+        "ann_lsh_topk": _ann_lsh_sql(),
     }
 
 

@@ -37,41 +37,112 @@ def detect_mentions(
     pages: DataFrame,
     surface_map: dict[str, list[int]],
     carry_lang: bool = False,
+    from_html: bool = False,
+    matcher_bc=None,
 ) -> DataFrame:
     """(url, surface, begin, end, candidate[, lang]) — one row per candidate.
 
     ``carry_lang=True`` propagates the page language with each mention so
     the linker's context feature needs NO join back to the (huge) page
     table — context rides the narrow mention stream instead.
+
+    ``from_html=True`` FUSES text extraction into the scan batch (one
+    Python/Arrow hop instead of two): at high parallelism every chained
+    pandas stage is its own Python worker per task slot, and the extra
+    hop's Arrow ser/deser + process oversubscription measurably
+    anti-scales (see BENCH.md).  Extraction semantics are byte-identical
+    (same ``extract.extract_text_py`` pure function).
+
+    ``matcher_bc``: a pre-broadcast matcher (``sc.broadcast(
+    build_matcher(surface_map))``) to reuse across scans — each NEW
+    broadcast makes every worker unpickle (and, for the regex backend,
+    recompile) its copy, a per-job fixed cost that belongs outside any
+    repeated/incremental scan loop.
     """
     spark = pages.sparkSession
-    bc = spark.sparkContext.broadcast(build_matcher(surface_map))
-    cols = ["url", "text"] + (["lang"] if carry_lang else [])
+    bc = matcher_bc if matcher_bc is not None else (
+        spark.sparkContext.broadcast(build_matcher(surface_map)))
+    text_col = "html" if from_html else "text"
+    cols = ["url", text_col] + (["lang"] if carry_lang else [])
+    if from_html:
+        from geonames_rdf_spark.pipeline.extract import extract_text_py
 
     def scan(batches):
         ac = bc.value
         for pdf in batches:
             rows: dict[str, list] = {c: [] for c in
-                                     ("url", "surface", "begin", "end", "candidate")}
+                                     ("url", "surface", "begin", "end",
+                                      "candidates")}
             if carry_lang:
                 rows["lang"] = []
-            langs = pdf["lang"] if carry_lang else pdf["url"]
-            for url, text, lang in zip(pdf["url"], pdf["text"], langs):
+            # Series -> list once: per-element pandas indexing in the row
+            # loop costs more than the scan itself on short pages
+            urls = pdf["url"].tolist()
+            texts = pdf[text_col].tolist()
+            langs = pdf["lang"].tolist() if carry_lang else urls
+            for url, text, lang in zip(urls, texts, langs):
+                if from_html:
+                    text = extract_text_py(text) if text is not None else None
                 if not text:
                     continue
                 for start, pat, payload in ac.scan(text):
-                    for cid in payload:
-                        rows["url"].append(url)
-                        rows["surface"].append(pat)
-                        rows["begin"].append(start)
-                        rows["end"].append(start + len(pat))
-                        rows["candidate"].append(cid)
-                        if carry_lang:
-                            rows["lang"].append(lang)
+                    # ONE row per match; the candidate fan-out (Zipf-hot
+                    # surfaces carry many ids) explodes JVM-side below —
+                    # ~|candidates|x less data across the Arrow boundary
+                    rows["url"].append(url)
+                    rows["surface"].append(pat)
+                    rows["begin"].append(start)
+                    rows["end"].append(start + len(pat))
+                    rows["candidates"].append(payload)
+                    if carry_lang:
+                        rows["lang"].append(lang)
             yield pd.DataFrame(rows)
 
-    schema = MENTION_SCHEMA_LANG if carry_lang else MENTION_SCHEMA
-    return pages.select(*cols).mapInPandas(scan, schema=schema)
+    match_schema = ("url string, surface string, begin int, end int,"
+                    " candidates array<bigint>")
+    out_cols = ["url", "surface", "begin", "end",
+                F.explode("candidates").alias("candidate")]
+    if carry_lang:
+        match_schema += ", lang string"
+        out_cols.append("lang")
+    return pages.select(*cols).mapInPandas(scan, schema=match_schema).select(
+        *out_cols)
+
+
+def detect_mentions_sharded(
+    pages: DataFrame,
+    surface_map: dict[str, list[int]],
+    shards: int = 4,
+    carry_lang: bool = False,
+) -> DataFrame:
+    """Mention scan for pattern sets too large for ONE broadcast matcher
+    (DESIGN.md ceiling: ~8M surfaces for the regex backend, ~4M for the
+    dict-trie).  The pattern set splits into ``shards`` deterministic
+    md5-keyed shards, each scanned as its own broadcast pass; the union
+    is narrow (no shuffle added) and equals the single-pass scan exactly
+    because pattern sets are independent in Aho-Corasick semantics —
+    every (start, pattern) occurrence is found by exactly the shard
+    owning that pattern.
+
+    Per-executor memory is bounded by the LARGEST shard, at the cost of
+    scanning the text ``shards`` times — the trade a 13M-surface
+    gazetteer needs when the C-extension backend is unavailable.
+    """
+    import hashlib
+
+    parts: list[dict[str, list[int]]] = [{} for _ in range(shards)]
+    for pat, payload in surface_map.items():
+        h = int.from_bytes(hashlib.md5(pat.encode("utf-8")).digest()[:4], "little")
+        parts[h % shards][pat] = payload
+    out = None
+    for part in parts:
+        if not part:
+            continue
+        scan = detect_mentions(pages, part, carry_lang=carry_lang)
+        out = scan if out is None else out.unionByName(scan)
+    if out is None:
+        return detect_mentions(pages, {}, carry_lang=carry_lang)
+    return out
 
 
 # --- fused scan + link (the 100 TB hot path) -------------------------------
@@ -99,7 +170,8 @@ def build_scored_surface_map(features) -> dict[str, list[tuple[int, float, str]]
 
 
 def detect_and_link(pages, scored_map: dict[str, list[tuple[int, float, str]]],
-                    lang_bonus: float = 2.0):
+                    lang_bonus: float = 2.0, from_html: bool = False,
+                    bundle_bc=None):
     """Mention detection + candidate scoring + per-mention argmax, all
     inside the Arrow batch — the candidate fan-out for hot toponyms never
     materializes, so NOTHING shuffles per candidate (the downstream
@@ -113,9 +185,14 @@ def detect_and_link(pages, scored_map: dict[str, list[tuple[int, float, str]]],
     from geonames_rdf_spark.pipeline.link import LANG_COUNTRY
 
     spark = pages.sparkSession
-    bc = spark.sparkContext.broadcast(
+    # ``bundle_bc``: pre-broadcast (matcher, scored_map) pair — reuse it
+    # across scans so workers unpickle/compile the matcher once per job
+    bc = bundle_bc if bundle_bc is not None else spark.sparkContext.broadcast(
         (build_matcher({k: [] for k in scored_map}), scored_map)
     )
+    text_col = "html" if from_html else "text"
+    if from_html:
+        from geonames_rdf_spark.pipeline.extract import extract_text_py
 
     def scan(batches):
         ac, smap = bc.value
@@ -123,7 +200,11 @@ def detect_and_link(pages, scored_map: dict[str, list[tuple[int, float, str]]],
         for pdf in batches:
             rows = {c: [] for c in
                     ("url", "surface", "begin", "end", "geonameid", "score")}
-            for url, text, lang in zip(pdf["url"], pdf["text"], pdf["lang"]):
+            for url, text, lang in zip(pdf["url"].tolist(),
+                                       pdf[text_col].tolist(),
+                                       pdf["lang"].tolist()):
+                if from_html:
+                    text = extract_text_py(text) if text is not None else None
                 if not text:
                     continue
                 bonus_cc = lang_cc.get(lang)
@@ -147,7 +228,7 @@ def detect_and_link(pages, scored_map: dict[str, list[tuple[int, float, str]]],
                     rows["score"].append(round(best_score, 6))
             yield pd.DataFrame(rows)
 
-    return pages.select("url", "text", "lang").mapInPandas(
+    return pages.select("url", text_col, "lang").mapInPandas(
         scan,
         schema="url string, surface string, begin int, end int,"
                " geonameid bigint, score double",

@@ -157,3 +157,30 @@ def test_fused_link_equivalence(spark):
     for k in s:
         assert s[k][0] == f[k][0], (k, s[k], f[k])
         assert abs(s[k][1] - f[k][1]) < 1e-6
+
+
+def test_sharded_scan_equals_single_pass(spark, result):
+    """detect_mentions_sharded == detect_mentions for any shard count
+    (the >8M-surface broadcast-ceiling path, DESIGN.md)."""
+    tables = build.gazetteer_tables(spark, SF)
+    smap = mentions.build_surface_map(tables["features"])
+    pages = result["pages"].limit(60)
+    single = mentions.detect_mentions(pages, smap, carry_lang=True)
+    sharded = mentions.detect_mentions_sharded(pages, smap, shards=5,
+                                               carry_lang=True)
+    assert single.exceptAll(sharded).count() == 0
+    assert sharded.exceptAll(single).count() == 0
+    assert sharded.count() == single.count() > 0
+
+
+def test_from_html_fusion_equals_staged(spark, result):
+    """detect_mentions(from_html=True) == extract-then-scan (byte-identity
+    extraction fused into the scan batch, one Python hop)."""
+    tables = build.gazetteer_tables(spark, SF)
+    smap = mentions.build_surface_map(tables["features"])
+    pages = result["pages"].limit(50)
+    staged = mentions.detect_mentions(pages, smap, carry_lang=True)
+    fused = mentions.detect_mentions(
+        pages.drop("text"), smap, carry_lang=True, from_html=True)
+    assert staged.exceptAll(fused).count() == 0
+    assert fused.exceptAll(staged).count() == 0
