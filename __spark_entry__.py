@@ -196,6 +196,19 @@ def _q_fingerprint(spark, sf_dir):
     return textstats.fingerprint(_docs(spark, sf_dir))
 
 
+def _q_bpe_tokens(spark, sf_dir):
+    from geonames_rdf_spark.operators.textstats import bpe_token_count
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", bpe_token_count(F.col("text")).alias("n_bpe_tokens"))
+
+
+def _q_rolling_fp(spark, sf_dir):
+    from geonames_rdf_spark.operators import textstats
+
+    return textstats.rolling_fingerprint(_docs(spark, sf_dir))
+
+
 def _docs_with_dups(spark, sf_dir):
     d = _docs(spark, sf_dir)
     dups = d.filter(F.col("doc_id") % 3 == 0).withColumn(
@@ -345,6 +358,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_features": _q_quality,
         "text_lang_id": _q_langid,
         "text_fingerprint": _q_fingerprint,
+        "text_bpe_token_count": _q_bpe_tokens,
+        "text_rolling_fingerprint": _q_rolling_fp,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_minhash,
         "dedup_simhash": _q_simhash,

@@ -27,6 +27,28 @@ def token_count(text: Column) -> Column:
     )
 
 
+# BPE-style pre-tokenizer (GPT-2-ish), restricted to syntax both Java
+# regex (Spark) and RE2 (DuckDB oracle) support — no lookahead: contraction
+# suffixes, optional-space letter runs, digit runs, punctuation runs,
+# whitespace runs.
+BPE_SPLIT_RE = (
+    r"'(?:s|t|re|ve|m|ll|d)"
+    r"| ?\p{L}+"
+    r"| ?\p{N}+"
+    r"| ?[^\s\p{L}\p{N}]+"
+    r"|\s+"
+)
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Count of BPE-pre-tokenizer segments (the token count an LLM data
+    pipeline budgets by, vs the whitespace count ``token_count`` gives).
+    Pure regexp_count — codegen, no UDF."""
+    return F.coalesce(
+        F.regexp_count(text, F.lit(BPE_SPLIT_RE)), F.lit(0)
+    ).cast("int")
+
+
 def _occurrences(text: Column, needle: str) -> Column:
     """Count of non-overlapping occurrences via the length-difference trick
     (stays in codegen; no UDF)."""
@@ -92,3 +114,21 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     whitespace-collapsed text (stable across cosmetic edits)."""
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     return docs.select("doc_id", F.md5(norm).alias("fingerprint"))
+
+
+def rolling_fingerprint(docs: DataFrame, k: int = 16,
+                        text_col: str = "text") -> DataFrame:
+    """Rolling-window (winnowing-family) fingerprint: the minimum hash
+    over all character k-gram windows of the normalized text — robust to
+    APPENDS and PREPENDS (any edit outside the minimizing window leaves
+    the fingerprint unchanged), unlike the whole-document md5.
+
+    Window hashes compare as md5 hex strings (lexicographic min ==
+    numeric min of the big-endian value); texts shorter than ``k`` hash
+    as one window.  Pure Column pipeline: sequence -> transform ->
+    array_min, all codegen."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    n = F.length(norm)
+    starts = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
+    windows = F.transform(starts, lambda i: F.md5(norm.substr(i, F.lit(k))))
+    return docs.select("doc_id", F.array_min(windows).alias("fingerprint"))

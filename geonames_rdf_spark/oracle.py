@@ -635,6 +635,23 @@ SELECT id_a, id_b, cosine, CAST(rn AS INT) AS rn FROM (
             "SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
             " AS fingerprint FROM documents"
         ),
+        # same BPE-ish pre-tokenizer regex; RE2 (DuckDB) and Java regex
+        # (Spark) agree on this lookahead-free subset
+        "text_bpe_token_count": (
+            "SELECT doc_id, CAST(len(regexp_extract_all(COALESCE(text, ''), "
+            "$$'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+$$"
+            ")) AS INT) AS n_bpe_tokens FROM documents"
+        ),
+        # min-hash over character 16-gram windows of the normalized text
+        "text_rolling_fingerprint": """
+SELECT doc_id,
+  list_min([md5(substr(t, CAST(i AS INT), 16))
+            for i in range(1, greatest(length(t) - 15, 1) + 1)]) AS fingerprint
+FROM (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+  FROM documents
+)
+""",
         "dedup_exact": dedup_exact,
         "ann_cosine_topk": ann_topk,
         "ann_knn_per_label": knn_label,

@@ -153,6 +153,30 @@ def run_stream_mentions(
     )
 
 
+def run_stream_linked(
+    spark: SparkSession,
+    pages_dir: str,
+    scored_map: dict[str, list[tuple[int, float, str]]],
+    query_name: str = "stream_linked",
+):
+    """The FUSED hot path (detect_and_link: extract+match+score+argmax in
+    one Arrow batch) as a streaming stage — micro-batched crawl pages in,
+    resolved entity links out.  Stateless map => append mode, no
+    watermark needed; the batch twin is oracle-checked
+    (pipeline_linked)."""
+    from geonames_rdf_spark.pipeline import mentions as m
+
+    pages = spark.readStream.schema(
+        "url string, warc_ts timestamp, html binary, text string, lang string"
+    ).parquet(pages_dir)
+    linked = m.detect_and_link(pages, scored_map, from_html=True)
+    return (
+        linked.writeStream.outputMode("append")
+        .format("memory").queryName(query_name)
+        .start()
+    )
+
+
 def run_stream_stateful_counts(
     spark: SparkSession,
     source_dir: str,

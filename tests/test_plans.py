@@ -56,3 +56,12 @@ def test_entity_table_single_shuffle(spark, tmp_path):
     # never becomes N self-joins
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+def test_code_labels_in_kg_broadcasts_label_side(spark):
+    """C12 self-join: the concept-label slice must broadcast — a
+    sort-merge here would shuffle every featureCode row at corpus scale."""
+    kg = build.build_kg(spark, SF)
+    plan = plan_of(workload.q_code_labels_in_kg(kg))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

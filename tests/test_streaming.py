@@ -113,3 +113,28 @@ def test_stateful_counts_across_batches(spark, events, tmp_path):
             assert abs(final[u][1] - want[u][1]) < 0.05
     finally:
         q.stop()
+
+
+def test_stream_linked_fused(spark, tmp_path):
+    """Fused detect_and_link as a streaming stage == its batch twin."""
+    from geonames_rdf_spark.operators import build
+    from geonames_rdf_spark.pipeline import corpus, mentions
+
+    tables = build.gazetteer_tables(spark, SF)
+    feats = tables["features"]
+    surfaces = corpus.gazetteer_surfaces(feats)
+    pages = corpus.synthesize_pages(spark, surfaces, 100)
+    src = str(tmp_path / "pages_src2")
+    pages.write.parquet(src)
+    smap_scored = mentions.build_scored_surface_map(feats)
+
+    q = ev.run_stream_linked(spark, src, smap_scored, query_name="tm_linked")
+    try:
+        q.processAllAvailable()
+        streamed = spark.sql("SELECT * FROM tm_linked")
+        batch = mentions.detect_and_link(
+            spark.read.parquet(src), smap_scored, from_html=True)
+        assert streamed.count() == batch.count() > 0
+        assert streamed.exceptAll(batch).count() == 0
+    finally:
+        q.stop()

@@ -150,3 +150,36 @@ def test_ivf_ann(emb):
              for r in similarity.ann_ivf_topk(emb, q, k=5, centroids=centroids,
                                               nprobe=3).collect()}
     assert approx == again
+
+
+def test_bpe_token_count_semantics(spark):
+    from geonames_rdf_spark.operators.textstats import bpe_token_count
+
+    d = spark.createDataFrame(
+        [(1, "Hello world"), (2, "it's 2024, really!"), (3, ""), (4, None)],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["n"] for r in
+           d.select("doc_id", bpe_token_count(F.col("text")).alias("n")).collect()}
+    # "Hello"," world" -> 2; "it","'s"," 2024",","," really","!" -> 6
+    assert got[1] == 2
+    assert got[2] == 6
+    assert got[3] == 0 and got[4] == 0
+
+
+def test_rolling_fingerprint_append_robust(spark):
+    """The k-gram min-hash survives appends/prepends that whole-doc md5
+    does not (the minimizing window is usually interior)."""
+    from geonames_rdf_spark.operators import textstats
+
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    d = spark.createDataFrame(
+        [(1, base), (2, base + " APPENDED TAIL"), (3, "zzz " + base)],
+        ["doc_id", "text"],
+    )
+    fp = {r["doc_id"]: r["fingerprint"]
+          for r in textstats.rolling_fingerprint(d).collect()}
+    md = {r["doc_id"]: r["fingerprint"] for r in textstats.fingerprint(d).collect()}
+    assert fp[1] == fp[2]          # append does not move the min window
+    assert md[1] != md[2]          # ...but changes the whole-doc hash
+    assert len(fp[1]) == 32
