@@ -93,9 +93,23 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16,
 
     ``n_hashes`` is a parameter (the caller that built the signatures
     knows it) — probing the data with ``first()`` would run an eager job
-    re-executing the signature stage and crash on an empty corpus.
+    re-executing the signature stage and crash on an empty corpus.  A
+    width-guard fails loudly if the parameter disagrees with the actual
+    signature arrays (out-of-range ``sig[idx]`` is NULL and ``concat_ws``
+    SKIPS nulls, which would silently collide documents into shared
+    band buckets instead of erroring).
     """
     rows_per_band = n_hashes // bands
+    sigs = sigs.withColumn(
+        "sig",
+        F.when(F.size("sig") == n_hashes, F.col("sig")).otherwise(
+            F.raise_error(F.concat(
+                F.lit(f"lsh_candidate_pairs: expected {n_hashes}-hash"
+                      " signatures, got width "),
+                F.coalesce(F.size("sig").cast("string"), F.lit("NULL")),
+            )).cast("array<bigint>")
+        ),
+    )
     banded = sigs.select(
         "id",
         F.posexplode(
@@ -141,11 +155,15 @@ def minhash_near_dups(docs: DataFrame, threshold: float = 0.6,
                       bands: int = 16) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: (id_a, id_b, est_jaccard).
 
-    The signature table feeds two consumers (banding + the similarity
-    verify join) — persist it so the mapInPandas shingling stage runs
-    once, not three times.
+    The signature table feeds three consumers (banding + both sides of
+    the similarity verify join) — ``localCheckpoint`` materializes the
+    mapInPandas shingling stage once and, unlike ``persist()``, its
+    blocks are released by the ContextCleaner when the DataFrame becomes
+    unreachable (a plain persist here would leak one cached table into
+    the session per call).
     """
-    sigs = minhash_signatures(docs, text_col, id_col, k, n_hashes).persist()
+    sigs = minhash_signatures(docs, text_col, id_col, k,
+                              n_hashes).localCheckpoint(eager=False)
     pairs = lsh_candidate_pairs(sigs, bands, n_hashes=n_hashes)
     return minhash_similarity(sigs, pairs).filter(
         F.col("est_jaccard") >= threshold
@@ -201,9 +219,12 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 3,
         # last chunk absorbs the 64 % n_chunks remainder bits so the
         # partition covers all 64 bits (required for the recall guarantee)
         w = width if i < n_chunks - 1 else 64 - i * width
-        mask = (1 << w) - 1
-        return F.shiftrightunsigned(
-            F.col("simhash"), i * width).bitwiseAND(F.lit(mask))
+        shifted = F.shiftrightunsigned(F.col("simhash"), i * width)
+        if w == 64:
+            # max_hamming=0: the single chunk IS the full hash; a 2^64-1
+            # mask would overflow the signed long literal
+            return shifted
+        return shifted.bitwiseAND(F.lit((1 << w) - 1))
 
     chunks = sigs.select(
         "id", "simhash",

@@ -65,9 +65,12 @@ def cosine_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
 def lsh_bucket(vec: Column, planes: int = 16, dim: int = 64) -> Column:
     """Hyperplane signature: bit i = sign(vec . plane_i); returns bigint.
 
-    Hard-fails on rows whose vector width != ``dim``: zip_with would pad
-    with nulls, NULL every dot product, and silently hash every vector to
-    bucket 0 (degrading the candidate join to all-pairs)."""
+    NULL vectors hash to a NULL bucket (equi-joins drop them — one bad
+    row must not kill a corpus-scale pass); rows whose width != ``dim``
+    hard-fail with the offending width in the message: zip_with would
+    otherwise pad with nulls, NULL every dot product, and silently hash
+    every vector to bucket 0 (degrading the candidate join to
+    all-pairs)."""
     bits = []
     for i in range(planes):
         p = F.array(*[F.lit(v) for v in _unit(i, dim)])
@@ -77,11 +80,13 @@ def lsh_bucket(vec: Column, planes: int = 16, dim: int = 64) -> Column:
     out = bits[0]
     for b in bits[1:]:
         out = out + b
-    return F.when(F.size(vec) == dim, out.cast("bigint")).otherwise(
-        F.raise_error(F.concat(
+    return (
+        F.when(vec.isNull(), F.lit(None).cast("bigint"))
+        .when(F.size(vec) == dim, out.cast("bigint"))
+        .otherwise(F.raise_error(F.concat(
             F.lit(f"lsh_bucket: expected embedding dim {dim}, got "),
-            F.size(vec).cast("string"),
-        )).cast("bigint")
+            F.coalesce(F.size(vec).cast("string"), F.lit("NULL")),
+        )).cast("bigint"))
     )
 
 

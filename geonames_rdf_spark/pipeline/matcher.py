@@ -146,7 +146,13 @@ class _PyAhoCorasickMatcher:
 
 
 def build_matcher(patterns: dict[str, list], backend: str = "auto"):
-    """Best available matcher: C extension > trie-regex > pure Python."""
+    """Best available matcher: C extension > trie-regex > pure Python.
+
+    An empty (or all-empty-key) pattern set short-circuits to the regex
+    backend, whose scan returns [] — pyahocorasick leaves a wordless
+    automaton un-constructed and its iter() raises at scan time."""
+    if not any(patterns):
+        return TrieRegexMatcher({})
     if backend in ("auto", "c"):
         try:
             return _PyAhoCorasickMatcher(patterns)

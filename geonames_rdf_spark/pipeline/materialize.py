@@ -46,7 +46,10 @@ class PipelineStages(dict):
     driver-side surface-map ``collect`` — is built on FIRST ACCESS only.
     A caller that consumes only ``linked`` never pays the staged
     candidate-map collect that only ``mentions`` needs (and vice versa).
-    Behaves as a plain dict once a key is materialized."""
+
+    The full mapping protocol sees pending stages too (``in`` / ``get``
+    / ``keys`` / ``len``), and a factory that raises stays registered so
+    a retry re-raises the ROOT cause instead of a bare KeyError."""
 
     def __init__(self, factories):
         super().__init__()
@@ -54,8 +57,34 @@ class PipelineStages(dict):
 
     def __getitem__(self, key):
         if not super().__contains__(key) and key in self._factories:
-            super().__setitem__(key, self._factories.pop(key)())
+            value = self._factories[key]()  # pop only after success
+            super().__setitem__(key, value)
+            del self._factories[key]
         return super().__getitem__(key)
+
+    def __contains__(self, key):
+        return super().__contains__(key) or key in self._factories
+
+    def get(self, key, default=None):
+        try:
+            return self[key]
+        except KeyError:
+            return default
+
+    def keys(self):
+        return list(super().keys()) + list(self._factories.keys())
+
+    def __iter__(self):
+        return iter(self.keys())
+
+    def __len__(self):
+        return len(super().keys()) + len(self._factories)
+
+    def items(self):
+        return [(k, self[k]) for k in self.keys()]
+
+    def values(self):
+        return [self[k] for k in self.keys()]
 
 
 def run_pipeline(

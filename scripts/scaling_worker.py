@@ -80,7 +80,12 @@ def main() -> None:
     # steady-state scan throughput
     from geonames_rdf_spark.pipeline.matcher import build_matcher
     matcher_bc = spark.sparkContext.broadcast(build_matcher(smap))
-    corpus_path = f"/dev/shm/scaling-corpus-{n_pages}"
+    # cache key carries the gazetteer (sf_dir) too — a corpus synthesized
+    # from one gazetteer must never be reused for another scale factor.
+    # tmpfs cache persists across the interleaved levels of one evidence
+    # run; clean with: rm -rf /dev/shm/scaling-corpus-*
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    corpus_path = f"/dev/shm/scaling-corpus-{sf_tag}-{n_pages}"
     if not os.path.exists(corpus_path):
         # fixed file count independent of THIS worker's core count — the
         # written layout must not cap the read parallelism of the other

@@ -79,3 +79,9 @@ def test_matcher_is_picklable_for_broadcast():
     m2 = pickle.loads(pickle.dumps(m))
     assert sorted(m2.scan("New York!")) == sorted(m.scan("New York!"))
     assert m2.scan("New York!") == [(0, "New", [2]), (0, "New York", [5])]
+
+
+def test_build_matcher_empty_pattern_set():
+    for pats in ({}, {"": [1]}):
+        m = build_matcher(pats)
+        assert m.scan("anything at all") == []

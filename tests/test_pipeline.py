@@ -184,3 +184,21 @@ def test_from_html_fusion_equals_staged(spark, result):
         pages.drop("text"), smap, carry_lang=True, from_html=True)
     assert staged.exceptAll(fused).count() == 0
     assert fused.exceptAll(staged).count() == 0
+
+
+def test_pipeline_stages_mapping_protocol(spark):
+    r = materialize.run_pipeline(spark, SF, n_pages=20)
+    assert "linked" in r and "triples" in r and "pages" in r
+    assert set(r.keys()) >= {"pages", "linked", "mentions", "triples"}
+    assert len(r) == 4
+    assert r.get("linked") is not None
+    assert r.get("nonexistent") is None
+    # a failing factory stays registered: retry re-raises the root cause
+    stages = materialize.PipelineStages(
+        {"boom": lambda: (_ for _ in ()).throw(ValueError("root cause"))})
+    for _ in range(2):
+        try:
+            stages["boom"]
+            raise AssertionError("should have raised")
+        except ValueError as e:
+            assert "root cause" in str(e)

@@ -183,3 +183,46 @@ def test_rolling_fingerprint_append_robust(spark):
     assert fp[1] == fp[2]          # append does not move the min window
     assert md[1] != md[2]          # ...but changes the whole-doc hash
     assert len(fp[1]) == 32
+
+
+def test_simhash_max_hamming_zero(docs):
+    """h=0 (identical-simhash radius): single 64-bit chunk must not
+    overflow the long literal."""
+    s = docs.limit(10)
+    dup = s.withColumn("doc_id", F.col("doc_id") + 5000)
+    out = dedup.simhash_near_dups(s.unionByName(dup), max_hamming=0)
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert all((d, d + 5000) in pairs for d in
+               [r["doc_id"] for r in s.collect()])
+
+
+def test_lsh_bucket_null_row_skipped(spark):
+    """A NULL embedding must not kill the job — it hashes to a NULL
+    bucket and drops out of the candidate equi-join."""
+    from geonames_rdf_spark.operators import dedup as dd
+
+    rows = [(1, [1.0] * 8), (2, [1.0] * 8), (3, None)]
+    e = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = dd.embedding_near_dups(e, threshold=0.9, planes=4, dim=8)
+    assert {(r["id_a"], r["id_b"]) for r in out.collect()} == {(1, 2)}
+
+
+def test_lsh_bucket_wrong_width_fails_loudly(spark):
+    import pytest as _pt
+
+    from geonames_rdf_spark.operators.similarity import lsh_bucket
+
+    e = spark.createDataFrame([(1, [1.0] * 5)],
+                              "vec_id bigint, embedding array<double>")
+    bad = e.select(lsh_bucket(F.col("embedding"), planes=4, dim=8))
+    with _pt.raises(Exception, match="expected embedding dim 8, got 5"):
+        bad.collect()
+
+
+def test_lsh_candidate_pairs_width_guard(spark):
+    import pytest as _pt
+
+    sigs = spark.createDataFrame([(1, [1, 2, 3, 4])],
+                                 "id bigint, sig array<bigint>")
+    with _pt.raises(Exception, match="expected 64-hash signatures"):
+        dedup.lsh_candidate_pairs(sigs, bands=16).collect()
