@@ -160,6 +160,20 @@ def _q_pipe_triples(spark, sf_dir):
     return materialize.run_pipeline(spark, sf_dir, n_pages=500)["triples"]
 
 
+def _q_pipe_canonical(spark, sf_dir):
+    """S5 canonicalization: exact-dup sameAs edges -> hash-min connected
+    components -> (geonameid, canonical).  Duplicates injected by
+    shifting ids (+5M) so every (name, cc, lat, long) key forms a
+    component; the oracle derives the same map directly from the
+    duplicate rule (independent of the iterative CC algorithm)."""
+    from geonames_rdf_spark.pipeline import canonicalize
+
+    feats = build.gazetteer_tables(spark, sf_dir)["features"]
+    dup = feats.withColumn("geonameid", F.col("geonameid") + 5000000)
+    edges = canonicalize.sameas_edges(feats.unionByName(dup))
+    return canonicalize.canonical_map(edges)
+
+
 # --- training-data-pipeline operators (dedup / similarity / text) ---------
 
 def _docs(spark, sf_dir):
@@ -372,6 +386,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_mentions": _q_pipe_mentions,
         "pipeline_linked": _q_pipe_linked,
         "pipeline_kg_triples": _q_pipe_triples,
+        "pipeline_canonical_map": _q_pipe_canonical,
         "c1_scan_limit": _q_c1,
         "c2_population_topk": _q_c2,
         "c3_municipalities": _q_c3,

@@ -1,12 +1,21 @@
 """Multimodal column plumbing: opaque binary media + typed metadata.
 
-Image/audio decode libraries are not in this container, so the decode
-kernels are STUBS: ``decode=...`` either raises ``NotImplementedError``
-(real mode) or produces deterministic fake features (test mode).  What IS
-real and tested: the Spark-side plumbing — schema, media-type dispatch,
-``mapInPandas`` batch shape, partition-preserving feature extraction —
-which is the part that matters for the 100 TB plan (the decode kernel is
-embarrassingly parallel either way).
+Two decode tiers:
+
+- **Real decoders for uncompressed containers** (pure numpy/struct — no
+  codec library needed): PPM (P6) images with nearest-neighbour resize,
+  WAV (PCM16 mono) audio with RMS/zero-crossing features, and a raw
+  frame-stack "video" container with frame sampling.  These exercise the
+  FULL path — bytes -> pixels/samples -> features — end to end.
+- **Compressed codecs (jpeg/opus/av1) are STUBS**: no codec libraries
+  ship in this container, so ``extract_features(fake=False)`` raises
+  ``NotImplementedError`` for them; a deployment plugs its decoder into
+  the same batch contract.
+
+The Spark-side plumbing — schema, media-type dispatch, ``mapInPandas``
+batch shape, partition-preserving feature extraction — is identical for
+both tiers, which is the part that matters for the 100 TB plan (the
+decode kernel is embarrassingly parallel either way).
 """
 
 from __future__ import annotations
@@ -60,12 +69,169 @@ def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
     return out
 
 
+def synth_raw_media(spark, n: int = 24) -> DataFrame:
+    """Deterministic media table with REAL uncompressed payloads: P6 PPM
+    images, mono PCM16 WAVs, and raw PPM frame-stacks for video — the
+    decode path runs end to end on these (no codec library needed)."""
+    def gen(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].tolist():
+                mt = ("image", "audio", "video")[i % 3]
+                if mt == "image":
+                    h, w = 8 + i % 8, 8 + (i * 3) % 8
+                    px = ((np.arange(h * w * 3) * (i + 7)) % 256
+                          ).astype(np.uint8).reshape(h, w, 3)
+                    payload, meta = encode_ppm(px), (w, h, None, "ppm")
+                elif mt == "audio":
+                    t = np.arange(1600)
+                    samples = (10000 * np.sin(t * (0.01 + 0.001 * i))
+                               ).astype(np.int16)
+                    payload = encode_wav_pcm16(samples)
+                    meta = (None, None, 100, "pcm16")
+                else:
+                    frames = []
+                    for f in range(4):
+                        px = ((np.arange(6 * 6 * 3) * (i + f + 3)) % 256
+                              ).astype(np.uint8).reshape(6, 6, 3)
+                        frames.append(encode_ppm(px))
+                    payload, meta = b"".join(frames), (6, 6, 4 * 40, "rawframes")
+                rows.append((i, mt, payload, meta))
+            yield pd.DataFrame(rows, columns=["media_id", "media_type",
+                                              "payload", "meta"])
+
+    return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+# --- real decoders for uncompressed containers (numpy/struct only) ---------
+
+def encode_ppm(pixels) -> bytes:
+    """P6 PPM bytes from a (h, w, 3) uint8 array."""
+    h, w = pixels.shape[0], pixels.shape[1]
+    return f"P6\n{w} {h}\n255\n".encode("ascii") + pixels.tobytes()
+
+
+def decode_ppm(payload: bytes):
+    """(h, w, 3) uint8 array from P6 PPM bytes (binary-maxval-255 form)."""
+    import numpy as np
+
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    parts, idx = [], 2
+    while len(parts) < 3:  # width, height, maxval (comments skipped)
+        while payload[idx:idx + 1].isspace():
+            idx += 1
+        if payload[idx:idx + 1] == b"#":
+            idx = payload.index(b"\n", idx) + 1
+            continue
+        end = idx
+        while not payload[end:end + 1].isspace():
+            end += 1
+        parts.append(int(payload[idx:end]))
+        idx = end
+    idx += 1  # single whitespace after maxval
+    w, h, maxval = parts
+    if maxval != 255:
+        raise ValueError("only 8-bit PPM supported")
+    return np.frombuffer(payload, dtype=np.uint8,
+                         count=w * h * 3, offset=idx).reshape(h, w, 3)
+
+
+def resize_nearest(pixels, dst_h: int, dst_w: int):
+    """Nearest-neighbour resize via integer index maps (pure numpy)."""
+    import numpy as np
+
+    h, w = pixels.shape[0], pixels.shape[1]
+    rows = np.minimum((np.arange(dst_h) * h) // dst_h, h - 1)
+    cols = np.minimum((np.arange(dst_w) * w) // dst_w, w - 1)
+    return pixels[rows][:, cols]
+
+
+def encode_wav_pcm16(samples, rate: int = 16000) -> bytes:
+    """Minimal RIFF/WAVE mono PCM16 container from an int16 array."""
+    data = samples.astype("<i2").tobytes()
+    hdr = (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVEfmt "
+           + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+           + b"data" + struct.pack("<I", len(data)))
+    return hdr + data
+
+
+def decode_wav_pcm16(payload: bytes):
+    """(samples int16 array, rate) from a mono PCM16 WAV payload."""
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    fmt = struct.unpack("<IHHIIHH", payload[16:36])
+    if fmt[1] != 1 or fmt[2] != 1 or fmt[6] != 16:
+        raise ValueError("only mono PCM16 supported")
+    rate = fmt[3]
+    n = struct.unpack("<I", payload[40:44])[0]
+    return np.frombuffer(payload, dtype="<i2", count=n // 2, offset=44), rate
+
+
+def image_features(pixels, dim: int = FEATURE_DIM) -> list[float]:
+    """Deterministic content features: per-channel means + a 5-bin
+    grayscale histogram (normalized) — dim values."""
+    import numpy as np
+
+    gray = pixels.astype(np.float64).mean(axis=2)
+    hist, _ = np.histogram(gray, bins=dim - 3, range=(0, 255))
+    hist = hist / max(gray.size, 1)
+    chan = pixels.reshape(-1, 3).astype(np.float64).mean(axis=0) / 255.0
+    return [round(float(v), 6) for v in list(chan) + list(hist)]
+
+
+def audio_features(samples, dim: int = FEATURE_DIM) -> list[float]:
+    """RMS + zero-crossing rate + per-segment energy profile."""
+    import numpy as np
+
+    x = samples.astype(np.float64) / 32768.0
+    if x.size == 0:
+        return [0.0] * dim
+    rms = float(np.sqrt((x * x).mean()))
+    zcr = float((np.signbit(x[1:]) != np.signbit(x[:-1])).mean())
+    segs = np.array_split(x, dim - 2)
+    energy = [float(np.sqrt((s * s).mean())) if s.size else 0.0 for s in segs]
+    return [round(v, 6) for v in [rms, zcr] + energy]
+
+
+def decode_features(media_type: str, payload: bytes,
+                    codec: str | None) -> list[float]:
+    """Dispatch: real decode for uncompressed containers, stub for codecs."""
+    if media_type == "image" and codec == "ppm":
+        return image_features(decode_ppm(payload))
+    if media_type == "audio" and codec == "pcm16":
+        return audio_features(decode_wav_pcm16(payload)[0])
+    if media_type == "video" and codec == "rawframes":
+        # frame-stack container: concatenated PPM frames; feature = mean
+        # of sampled frame features (every 2nd frame)
+        frames, off = [], 0
+        while off < len(payload):
+            px = decode_ppm(payload[off:])
+            frames.append(px)
+            off += payload[off:].index(b"\n255\n") + 5 + px.size
+        import numpy as np
+
+        sampled = frames[::2]
+        return [round(float(v), 6) for v in
+                np.mean([image_features(f) for f in sampled], axis=0)]
+    raise NotImplementedError(
+        f"decode for ({media_type}, {codec}) requires codec libraries not "
+        "present in this container; supply a decoder or use fake=True"
+    )
+
+
 def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
     """Decode + feature-extract per media row (mapInPandas, Arrow batches).
 
-    ``fake=False`` is the production signature — it raises
-    NotImplementedError because no codec libraries ship in this container;
-    a deployment plugs its decoder into the same batch contract.
+    ``fake=False`` runs the REAL decoders (``decode_features``) —
+    end-to-end for the uncompressed containers (ppm/pcm16/rawframes);
+    compressed codecs raise NotImplementedError (no codec libraries in
+    this container; a deployment plugs its decoder into the same batch
+    contract).
     """
     schema = (
         "media_id bigint, media_type string, feature array<double>, n_bytes int"
@@ -73,12 +239,15 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
 
     def run(batches):
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "media decode requires codec libraries not present in "
-                    "this container; supply a decoder or use fake=True"
-                )
-            feats = [_fake_features(bytes(p)) for p in pdf["payload"]]
+            if fake:
+                feats = [_fake_features(bytes(p)) for p in pdf["payload"]]
+            else:
+                feats = [
+                    decode_features(mt, bytes(p), (m or {}).get("codec"))
+                    for mt, p, m in zip(pdf["media_type"].tolist(),
+                                        pdf["payload"].tolist(),
+                                        pdf["meta"].tolist())
+                ]
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "media_type": pdf["media_type"],
@@ -86,7 +255,8 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
                 "n_bytes": [len(bytes(p)) for p in pdf["payload"]],
             })
 
-    return media.mapInPandas(run, schema=schema)
+    cols = ["media_id", "media_type", "payload"] + ([] if fake else ["meta"])
+    return media.select(*cols).mapInPandas(run, schema=schema)
 
 
 def resize_plan(media: DataFrame, max_px: int = 256) -> DataFrame:

@@ -752,6 +752,31 @@ WHERE rn = 1
 """
 
 
+def _canonical_map_sql() -> str:
+    """Oracle for the S5 canonicalization map: the Spark side runs
+    sameAs-star-edges -> iterative hash-min connected components; the
+    oracle derives the identical map DIRECTLY from the duplicate rule
+    (min geonameid per (bestName, country_code, lat, long) key over the
+    id-shifted duplicate union) — an algorithm-independent second path."""
+    return kg_prefix() + """,
+fbn_dup AS (
+  SELECT geonameid, bestName, country_code, latitude, longitude FROM fbn
+  UNION ALL
+  SELECT geonameid + 5000000, bestName, country_code, latitude, longitude
+  FROM fbn
+),
+grp AS (
+  SELECT geonameid,
+         MIN(geonameid) OVER (PARTITION BY bestName, country_code,
+                              latitude, longitude) AS canonical,
+         COUNT(*) OVER (PARTITION BY bestName, country_code,
+                        latitude, longitude) AS n
+  FROM fbn_dup
+)
+SELECT geonameid, canonical FROM grp WHERE n > 1
+"""
+
+
 def pipeline_sql() -> dict[str, str]:
     mentions = (
         kg_prefix() + ",\n" + _pages_ctes().strip() + """
@@ -790,6 +815,7 @@ FROM linked
         "pipeline_mentions": mentions,
         "pipeline_linked": linked,
         "pipeline_kg_triples": triples,
+        "pipeline_canonical_map": _canonical_map_sql(),
     }
 
 

@@ -85,3 +85,24 @@ def test_build_matcher_empty_pattern_set():
     for pats in ({}, {"": [1]}):
         m = build_matcher(pats)
         assert m.scan("anything at all") == []
+
+
+# --- property-based equivalence (heavy nesting/overlap via tiny alphabet) --
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _word = st.text(alphabet="ab 1", min_size=1, max_size=6)
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        pats=st.sets(_word, min_size=1, max_size=12),
+        text=st.text(alphabet="ab 1.x", min_size=0, max_size=60),
+    )
+    def test_regex_equals_automaton_property(pats, text):
+        patterns = {p: [hash(p) % 97] for p in pats}
+        assert (sorted(AhoCorasick(patterns).scan(text))
+                == sorted(TrieRegexMatcher(patterns).scan(text)))
+except ImportError:  # pragma: no cover - hypothesis is baked in here
+    pass

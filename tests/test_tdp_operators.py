@@ -226,3 +226,36 @@ def test_lsh_candidate_pairs_width_guard(spark):
                                  "id bigint, sig array<bigint>")
     with _pt.raises(Exception, match="expected 64-hash signatures"):
         dedup.lsh_candidate_pairs(sigs, bands=16).collect()
+
+
+def test_multimodal_real_decode_end_to_end(spark):
+    """fake=False runs REAL decoders for the uncompressed containers:
+    PPM pixels, WAV PCM samples, raw frame-stacks — bytes to features
+    with no codec library."""
+    media = multimodal.synth_raw_media(spark, 24)
+    rows = multimodal.extract_features(media, fake=False).collect()
+    assert len(rows) == 24
+    assert all(len(r["feature"]) == multimodal.FEATURE_DIM for r in rows)
+    # image features are content-derived: channel means are in [0, 1]
+    img = [r for r in rows if r["media_type"] == "image"]
+    assert img and all(0.0 <= v <= 1.0 for r in img for v in r["feature"][:3])
+    # audio features: rms > 0 for the sine payloads
+    aud = [r for r in rows if r["media_type"] == "audio"]
+    assert aud and all(r["feature"][0] > 0.1 for r in aud)
+    # deterministic
+    again = multimodal.extract_features(media, fake=False).collect()
+    assert {r["media_id"]: r["feature"] for r in rows} == {
+        r["media_id"]: r["feature"] for r in again}
+
+
+def test_multimodal_decode_roundtrip_and_resize():
+    import numpy as np
+
+    px = (np.arange(10 * 7 * 3) % 256).astype(np.uint8).reshape(10, 7, 3)
+    assert (multimodal.decode_ppm(multimodal.encode_ppm(px)) == px).all()
+    small = multimodal.resize_nearest(px, 5, 4)
+    assert small.shape == (5, 4, 3)
+    assert (small[0, 0] == px[0, 0]).all()
+    s = (np.sin(np.arange(800) * 0.02) * 20000).astype(np.int16)
+    out, rate = multimodal.decode_wav_pcm16(multimodal.encode_wav_pcm16(s))
+    assert rate == 16000 and (out == s).all()
