@@ -32,9 +32,8 @@ def main() -> None:
 
     from geonames_rdf_spark.operators import build
     from geonames_rdf_spark.pipeline import (
-        corpus, extract, lineage, materialize, mentions,
+        corpus, lineage, materialize, mentions,
     )
-    from pyspark.sql import functions as F
 
     spark = SparkSession.builder.appName("kg-construct").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -43,20 +42,26 @@ def main() -> None:
     feats = tables["features"].cache()
     surfaces = corpus.gazetteer_surfaces(feats)
     smap = mentions.build_scored_surface_map(feats)
+    # matcher + scored map broadcast ONCE for the whole bucket loop
+    # (BENCH.md: a fresh broadcast per scan re-pays the per-worker
+    # unpickle/compile); extraction is FUSED into the scan (one Python
+    # hop per task slot — the measured production shape)
+    from geonames_rdf_spark.pipeline.matcher import build_matcher
 
-    pages = extract.with_extracted_text(
-        corpus.synthesize_pages(spark, surfaces, args.pages)
-        .drop("text").withColumn("text", F.lit(None).cast("string"))
-    )
+    bundle_bc = spark.sparkContext.broadcast(
+        (build_matcher({k: [] for k in smap}), smap))
+
+    pages = corpus.synthesize_pages(spark, surfaces, args.pages)
 
     def triples_for(subset):
-        linked = mentions.detect_and_link(subset, smap)
+        linked = mentions.detect_and_link(subset, smap, from_html=True,
+                                          bundle_bc=bundle_bc)
         return materialize.mention_triples(linked)
 
     lineage.run_with_lineage(spark, pages, triples_for, args.out,
                              n_buckets=args.buckets)
 
-    kg = build.build_kg(spark, args.sf_dir)
+    kg = build.build_kg(spark, args.sf_dir, tables=tables)
     mention_triples = lineage.read_triples(spark, args.out)
     all_triples = kg.unionByName(mention_triples)
     materialize.write_ntriples(all_triples, f"{args.out}/ntriples")
