@@ -198,6 +198,12 @@ def _q_quality(spark, sf_dir):
     return textstats.quality_features(_docs(spark, sf_dir))
 
 
+def _q_quality_score(spark, sf_dir):
+    from geonames_rdf_spark.operators import textstats
+
+    return textstats.quality_score(_docs(spark, sf_dir))
+
+
 def _q_langid(spark, sf_dir):
     from geonames_rdf_spark.operators import textstats
 
@@ -370,6 +376,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_approx_stats": _q_events_approx,
         "text_token_count": _q_token_count,
         "text_quality_features": _q_quality,
+        "text_quality_score": _q_quality_score,
         "text_lang_id": _q_langid,
         "text_fingerprint": _q_fingerprint,
         "text_bpe_token_count": _q_bpe_tokens,

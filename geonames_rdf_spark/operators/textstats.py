@@ -90,7 +90,9 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
         + (1 - F.least(F.col("digit_ratio") * 5, F.lit(1.0))) * 0.2
         + F.least(F.col("stopword_ratio") * 10, F.lit(1.0)) * 0.2
     )
-    return q.select("doc_id", F.round(score, 4).alias("quality"))
+    # 6 dp: the weighted sum of 4-dp features carries at most 5 decimals,
+    # so this rounding is exact (never a cross-engine halfway case)
+    return q.select("doc_id", F.round(score, 6).alias("quality"))
 
 
 def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:

@@ -624,8 +624,19 @@ SELECT id_a, id_b, cosine, CAST(rn AS INT) AS rn FROM (
     ON a.label = b.label AND a.vec_id <> b.vec_id
 ) WHERE rn <= 3
 """
+    quality_score = f"""
+SELECT doc_id,
+  round(
+    least({tok} / 50.0, 1.0) * 0.4
+    + (1 - least(round(({strip_punct}) / greatest(length(text), 1), 4) * 5, 1.0)) * 0.2
+    + (1 - least(round(({strip_digit}) / greatest(length(text), 1), 4) * 5, 1.0)) * 0.2
+    + least(round(({stop_hits}) / greatest({tok}, 1), 4) * 10, 1.0) * 0.2,
+  6) AS quality
+FROM documents
+"""
     return {
         **neardup_sql(),
+        "text_quality_score": quality_score,
         "text_token_count": (
             f"SELECT doc_id, {tok} AS n_tokens FROM documents"
         ),
