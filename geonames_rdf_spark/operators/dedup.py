@@ -201,50 +201,114 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text",
     )
 
 
-def simhash_near_dups(docs: DataFrame, max_hamming: int = 3,
-                      text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Near-dups by SimHash: candidates share one of ``max_hamming + 1``
-    bit chunks (pigeonhole: hamming <= h over a partition of the 64 bits
-    into h+1 disjoint chunks => some chunk is identical — the banding is
-    COMPLETE for any radius), then exact popcount filter.
-    (id_a, id_b, hamming).  Default h=3 gives the classic 4x16-bit split.
+def _simhash_chunk_exprs(col, n_blocks: int) -> list:
+    """Disjoint bit-chunk expressions covering all 64 bits (the last block
+    absorbs the ``64 % n_blocks`` remainder — full coverage is required
+    for the pigeonhole recall guarantee)."""
+    width = 64 // n_blocks
+    out = []
+    for i in range(n_blocks):
+        w = width if i < n_blocks - 1 else 64 - i * width
+        shifted = F.shiftrightunsigned(col, i * width)
+        if w == 64:
+            # n_blocks=1: the single chunk IS the full hash; a 2^64-1
+            # mask would overflow the signed long literal
+            out.append(shifted)
+        else:
+            out.append(shifted.bitwiseAND(F.lit((1 << w) - 1)))
+    return out
+
+
+def simhash_candidate_values(values: DataFrame, max_hamming: int = 3,
+                             n_blocks: int | None = None,
+                             sim_col: str = "simhash") -> DataFrame:
+    """Candidate pairs of DISTINCT simhash values (sh_a < sh_b) via
+    Manku-style combinatorial blocking (Manku/Jain/Das Sarma, WWW'07).
+
+    The 64 bits split into ``n_blocks`` disjoint chunks; a pair within
+    hamming ``h`` differs in at most ``h`` chunks, so at least
+    ``n_blocks - h`` chunks agree — every size-``(n_blocks - h)`` chunk
+    combination is a join key, and at least one key collides for every
+    true pair (COMPLETE).  Versus the naive one-chunk key this widens the
+    key from 64/(h+1) bits to ``(n_blocks - h) * 64/n_blocks`` bits
+    (h=3 default: 16 -> ~32 bits), which shrinks the expected bucket to
+    ~n/2^32 — the within-bucket join stays linear-ish at web-corpus
+    scale at the cost of C(n_blocks, n_blocks-h) keys per value
+    (h=3: 20 keys).
     """
+    import itertools
+
     if not 0 <= max_hamming < 64:
         raise ValueError(f"max_hamming must be in [0, 64), got {max_hamming}")
-    n_chunks = max_hamming + 1
-    width = 64 // n_chunks
-    sigs = simhash_signatures(docs, text_col, id_col)
-
-    def chunk_expr(i: int):
-        # last chunk absorbs the 64 % n_chunks remainder bits so the
-        # partition covers all 64 bits (required for the recall guarantee)
-        w = width if i < n_chunks - 1 else 64 - i * width
-        shifted = F.shiftrightunsigned(F.col("simhash"), i * width)
-        if w == 64:
-            # max_hamming=0: the single chunk IS the full hash; a 2^64-1
-            # mask would overflow the signed long literal
-            return shifted
-        return shifted.bitwiseAND(F.lit((1 << w) - 1))
-
-    chunks = sigs.select(
-        "id", "simhash",
-        F.posexplode(F.array(*[chunk_expr(i) for i in range(n_chunks)]))
-        .alias("chunk_idx", "chunk"),
+    if n_blocks is None:
+        n_blocks = max_hamming + 3 if max_hamming else 1
+    if max_hamming and n_blocks <= max_hamming:
+        raise ValueError(
+            f"n_blocks ({n_blocks}) must exceed max_hamming ({max_hamming})"
+            " for the pigeonhole guarantee")
+    n_blocks = min(n_blocks, 64)
+    chunks = _simhash_chunk_exprs(F.col(sim_col), n_blocks)
+    combos = list(itertools.combinations(range(n_blocks),
+                                         n_blocks - max_hamming))
+    keys = values.select(
+        F.col(sim_col),
+        F.posexplode(F.array(*[
+            F.xxhash64(F.concat_ws(
+                ",", *[chunks[j].cast("string") for j in combo]))
+            for combo in combos
+        ])).alias("ck", "key"),
     )
-    a, b = chunks.alias("a"), chunks.alias("b")
-    cand = (
-        a.join(b, ["chunk_idx", "chunk"])
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("a.simhash").alias("sh_a"),
-                F.col("b.id").alias("id_b"), F.col("b.simhash").alias("sh_b"))
+    a, b = keys.alias("a"), keys.alias("b")
+    return (
+        a.join(b, ["ck", "key"])
+        .filter(F.col(f"a.{sim_col}") < F.col(f"b.{sim_col}"))
+        .select(F.col(f"a.{sim_col}").alias("sh_a"),
+                F.col(f"b.{sim_col}").alias("sh_b"))
         .distinct()
     )
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (
-        cand.withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+
+
+def simhash_near_dups(docs: DataFrame, max_hamming: int = 3,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      n_blocks: int | None = None) -> DataFrame:
+    """Near-dups by SimHash: (id_a, id_b, hamming), id_a < id_b.
+
+    Scale shape (the two defenses a 10^9+-doc corpus needs):
+
+    1. **exact pre-collapse** — documents are first grouped by simhash
+       VALUE, and candidate generation runs over distinct values only, so
+       a flood of literal duplicates (the most common web pathology)
+       contributes ONE row to the blocking join instead of n quadratic
+       ones; member pairs are expanded back afterwards (within-group
+       pairs have hamming 0 by construction);
+    2. **combinatorial blocking** (``simhash_candidate_values``) — the
+       join key is ~32 bits (vs the naive 16-bit single chunk), keeping
+       within-bucket joins linear-ish; candidate completeness is
+       pigeonhole-guaranteed, so the verified output is IDENTICAL to an
+       all-pairs popcount scan.
+    """
+    sigs = simhash_signatures(docs, text_col, id_col).localCheckpoint(
+        eager=False)
+    values = sigs.select("simhash").distinct()
+    vcand = simhash_candidate_values(values, max_hamming, n_blocks)
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int")
+    vpairs = (vcand.withColumn("hamming", hamming)
+              .filter(F.col("hamming") <= max_hamming))
+    ma = sigs.select(F.col("id").alias("ia"), F.col("simhash").alias("sh_a"))
+    mb = sigs.select(F.col("id").alias("ib"), F.col("simhash").alias("sh_b"))
+    cross = (
+        vpairs.join(ma, "sh_a").join(mb, "sh_b")
+        .select(F.least("ia", "ib").alias("id_a"),
+                F.greatest("ia", "ib").alias("id_b"), "hamming")
     )
+    within = (
+        ma.join(sigs.select(F.col("id").alias("ib"),
+                            F.col("simhash").alias("sh_a")), "sh_a")
+        .filter(F.col("ia") < F.col("ib"))
+        .select(F.col("ia").alias("id_a"), F.col("ib").alias("id_b"),
+                F.lit(0).cast("int").alias("hamming"))
+    )
+    return cross.unionByName(within)
 
 
 def ngram_jaccard(docs: DataFrame, pairs: DataFrame, k: int = 3,
@@ -297,9 +361,13 @@ def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95,
     from geonames_rdf_spark.operators.similarity import cosine_expr, lsh_bucket
 
     if dim is None:
-        row = embeddings.select(F.size(vec_col).alias("d")).first()
+        # sample from a NON-NULL row: a NULL leading embedding would make
+        # size() NULL and int(None) raise, defeating lsh_bucket's own
+        # null-row tolerance (one bad row must not kill the pass)
+        row = (embeddings.filter(F.col(vec_col).isNotNull())
+               .select(F.size(vec_col).alias("d")).first())
         if row is None:
-            dim = 0  # empty corpus: no rows, any dim yields an empty result
+            dim = 0  # no non-null rows: any dim yields an empty result
         else:
             dim = int(row["d"])
     sig = embeddings.select(

@@ -51,9 +51,11 @@ def bpe_token_count(text: Column) -> Column:
 
 def _occurrences(text: Column, needle: str) -> Column:
     """Count of non-overlapping occurrences via the length-difference trick
-    (stays in codegen; no UDF)."""
+    (stays in codegen; no UDF).  Uses LITERAL ``replace`` — not regexp —
+    so a needle containing regex metachars (``.`` etc.) counts correctly
+    and matches the DuckDB oracle's ``replace()`` exactly."""
     return (
-        (F.length(text) - F.length(F.regexp_replace(text, F.lit(needle).cast("string"), F.lit(""))))
+        (F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit(""))))
         / F.lit(len(needle))
     ).cast("int")
 

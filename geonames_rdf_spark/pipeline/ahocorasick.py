@@ -19,7 +19,10 @@ class AhoCorasick:
 
     def __init__(self, patterns: dict[str, list[int]]):
         """``patterns``: surface form -> payload (candidate entity ids)."""
+        self.n_patterns = sum(1 for p in patterns if p)
         self.goto: list[dict[str, int]] = [{}]
+        # (``__len__`` below returns n_patterns — the cross-backend
+        # matcher-size contract used by the stale-broadcast guards)
         self.out: list[list[tuple[str, list[int]]]] = [[]]
         self.fail: list[int] = [0]
         for pat, payload in patterns.items():
@@ -50,6 +53,9 @@ class AhoCorasick:
                     f = self.fail[f]
                 self.fail[s] = self.goto[f].get(ch, 0) if self.goto[f].get(ch, 0) != s else 0
                 self.out[s] = self.out[s] + self.out[self.fail[s]]
+
+    def __len__(self) -> int:
+        return self.n_patterns
 
     def scan(self, text: str) -> list[tuple[int, str, list[int]]]:
         """Yield (start_offset, surface, payload) for every match with

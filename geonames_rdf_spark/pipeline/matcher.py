@@ -87,6 +87,9 @@ class TrieRegexMatcher:
         # Overlap is recovered by restarting the search at start+1.
         self._re = re.compile(_trie_regex(root)) if self._payload else None
 
+    def __len__(self) -> int:
+        return len(self._payload)
+
     def scan(self, text: str) -> list[tuple[int, str, list]]:
         """(start, pattern, payload) triples, word-boundary-guarded —
         identical set to ``AhoCorasick.scan`` (order: by start, then
@@ -129,6 +132,9 @@ class _PyAhoCorasickMatcher:
             if pat:
                 self._auto.add_word(pat, (pat, val))
         self._auto.make_automaton()
+
+    def __len__(self) -> int:
+        return len(self._auto)
 
     def scan(self, text: str) -> list[tuple[int, str, list]]:
         if not text:

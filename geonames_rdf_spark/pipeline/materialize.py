@@ -62,6 +62,13 @@ class PipelineStages(dict):
             del self._factories[key]
         return super().__getitem__(key)
 
+    def __setitem__(self, key, value):
+        # a direct assignment supersedes any pending factory for the same
+        # key — otherwise keys()/len() double-count it and items() would
+        # needlessly invoke the dead factory
+        self._factories.pop(key, None)
+        super().__setitem__(key, value)
+
     def __contains__(self, key):
         return super().__contains__(key) or key in self._factories
 

@@ -60,8 +60,18 @@ def detect_mentions(
     repeated/incremental scan loop.
     """
     spark = pages.sparkSession
-    bc = matcher_bc if matcher_bc is not None else (
-        spark.sparkContext.broadcast(build_matcher(surface_map)))
+    if matcher_bc is not None:
+        # the broadcast matcher supersedes ``surface_map`` — guard against
+        # a caller passing a DIFFERENT map than the one bundled (results
+        # would silently come from the stale broadcast)
+        n_bc, n_map = len(matcher_bc.value), sum(1 for p in surface_map if p)
+        if n_bc != n_map:
+            raise ValueError(
+                f"detect_mentions: matcher_bc holds {n_bc} patterns but"
+                f" surface_map has {n_map} — stale/mismatched broadcast")
+        bc = matcher_bc
+    else:
+        bc = spark.sparkContext.broadcast(build_matcher(surface_map))
     text_col = "html" if from_html else "text"
     cols = ["url", text_col] + (["lang"] if carry_lang else [])
     if from_html:
@@ -186,10 +196,22 @@ def detect_and_link(pages, scored_map: dict[str, list[tuple[int, float, str]]],
 
     spark = pages.sparkSession
     # ``bundle_bc``: pre-broadcast (matcher, scored_map) pair — reuse it
-    # across scans so workers unpickle/compile the matcher once per job
-    bc = bundle_bc if bundle_bc is not None else spark.sparkContext.broadcast(
-        (build_matcher({k: [] for k in scored_map}), scored_map)
-    )
+    # across scans so workers unpickle/compile the matcher once per job.
+    # When supplied it SUPERSEDES ``scored_map``; the size guard catches a
+    # caller passing a different map than the bundled one (which would
+    # silently score from the stale broadcast).
+    if bundle_bc is not None:
+        n_bundled = len(bundle_bc.value[1])
+        if n_bundled != len(scored_map):
+            raise ValueError(
+                f"detect_and_link: bundle_bc carries {n_bundled} surfaces"
+                f" but scored_map has {len(scored_map)} — stale/mismatched"
+                " broadcast")
+        bc = bundle_bc
+    else:
+        bc = spark.sparkContext.broadcast(
+            (build_matcher({k: [] for k in scored_map}), scored_map)
+        )
     text_col = "html" if from_html else "text"
     if from_html:
         from geonames_rdf_spark.pipeline.extract import extract_text_py

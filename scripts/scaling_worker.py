@@ -86,7 +86,9 @@ def main() -> None:
     # run; clean with: rm -rf /dev/shm/scaling-corpus-*
     sf_tag = os.path.basename(sf_dir.rstrip("/"))
     corpus_path = f"/dev/shm/scaling-corpus-{sf_tag}-{n_pages}"
-    if not os.path.exists(corpus_path):
+    # reuse only a COMPLETE write: a partial directory from a crashed run
+    # (no parquet _SUCCESS marker) would silently skew the page count
+    if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
         # fixed file count independent of THIS worker's core count — the
         # written layout must not cap the read parallelism of the other
         # (higher-core) measurement level

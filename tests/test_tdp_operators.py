@@ -63,6 +63,57 @@ def test_simhash_near_dups(docs):
     assert found >= 30
 
 
+def test_simhash_blocking_stays_linear_on_hot_chunk(spark):
+    """The adversarial corpus for the OLD one-chunk blocking key: 2000
+    distinct simhash values all sharing their low 16 bits.  A 16-bit
+    single-chunk key would put every value in ONE bucket (~2M candidate
+    pairs); the Manku combinatorial key (3-of-6 chunks, ~32 bits) needs
+    two MORE random chunks to agree, so candidates stay ~linear."""
+    n = 2000
+    vals = []
+    seen = set()
+    for i in range(n):
+        hi = dedup._h64(f"simhash-lin-{i}") >> 16  # random 48 high bits
+        v = (hi << 16) | 0x1234
+        if v >= 1 << 63:
+            v -= 1 << 64
+        if v not in seen:
+            seen.add(v)
+            vals.append((v,))
+    values = spark.createDataFrame(vals, "simhash bigint")
+    cand = dedup.simhash_candidate_values(values, max_hamming=3)
+    n_cand = cand.count()
+    assert n_cand < len(vals)  # vs ~n^2/2 for the one-chunk key
+    # completeness sanity on the same table: a value at hamming <= 3 from
+    # an existing one must be found
+    probe_base = vals[0][0]
+    probe = probe_base ^ (1 << 20) ^ (1 << 40) ^ (1 << 60)
+    with_probe = values.unionByName(
+        spark.createDataFrame([(probe,)], "simhash bigint"))
+    found = (
+        dedup.simhash_candidate_values(with_probe, max_hamming=3)
+        .filter((F.col("sh_a").isin(probe_base, probe))
+                & (F.col("sh_b").isin(probe_base, probe)))
+        .count()
+    )
+    assert found == 1
+
+
+def test_simhash_exact_collapse_pairs(spark):
+    """Literal duplicates: candidate generation sees ONE distinct value,
+    yet the expanded output still reports every duplicate pair."""
+    d = spark.createDataFrame(
+        [(i, "same text here") for i in range(5)]
+        + [(10, "totally different words entirely")],
+        ["doc_id", "text"],
+    )
+    out = dedup.simhash_near_dups(d, max_hamming=3)
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in out.collect()}
+    expected = {(a, b) for a in range(5) for b in range(a + 1, 5)}
+    assert set(pairs) >= expected
+    assert all(pairs[p] == 0 for p in expected)
+
+
 def test_ngram_jaccard_verification(spark):
     d = spark.createDataFrame(
         [(1, "a b c d e f g h"), (2, "a b c d e f g x"), (3, "q r s t u v w z")],
