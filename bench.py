@@ -6,6 +6,13 @@ local[$SPARK_GRAFT_CPUS].  Queries cover the engine's main cost centres:
 the full KG build (triples/sec headline), the web pipeline (extraction +
 AC mentions + linking), closure/star/kNN workload queries, and the
 training-data operators (minhash dedup, embedding kNN).
+
+Methodology: the suite runs ``BENCH_REPS`` (default 2) FULL passes,
+INTERLEAVED — every query of pass 1, then every query of pass 2 — and
+reports the per-query minimum.  This host carries bursty external load
+(load-avg 3-11 from outside the container); interleaving means a burst
+lands on at most one pass of each query instead of both back-to-back
+reps of the same query, so min-of-passes reflects the engine.
 """
 
 from __future__ import annotations
@@ -30,52 +37,50 @@ N_PAGES = int(os.environ.get("BENCH_PAGES", "20000"))
 def main() -> None:
     spark = get_spark(app_name="bench")
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
-    timings: dict[str, float] = {}
-    counts: dict[str, int] = {}
-
     reps = int(os.environ.get("BENCH_REPS", "2"))
-
-    def timed(name, fn):
-        # best-of-N: this host carries bursty external load (load-avg
-        # 3-11 from outside the container); min wall time is the engine
-        best = None
-        for _ in range(reps):
-            t0 = time.time()
-            counts[name] = fn()
-            dt = time.time() - t0
-            best = dt if best is None or dt < best else best
-        timings[name] = round(best, 3)
 
     # warm the JVM + parquet footers once (not counted)
     spark.read.parquet(f"{SF_DIR}/customer.parquet").count()
 
-    timed("kg_full_build", lambda: build.build_kg(spark, SF_DIR).count())
+    # shared inputs built once, OUTSIDE the measured region: the cached KG
+    # models a warehouse-resident table the workload queries scan
+    kg = build.build_kg(spark, SF_DIR).cache()
+    kg.count()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
 
     def pipeline_run():
         r = materialize.run_pipeline(spark, SF_DIR, n_pages=N_PAGES,
                                      include_feature_triples=False)
         return r["triples"].count()
 
-    timed("web_pipeline", pipeline_run)
+    suite: list[tuple[str, "callable"]] = [
+        ("kg_full_build", lambda: build.build_kg(spark, SF_DIR).count()),
+        ("web_pipeline", pipeline_run),
+        ("c4_descendants",
+         lambda: workload.q_descendants(kg, oracle.SEED_ADM1).count()),
+        ("c8_hierarchy_report",
+         lambda: workload.q_hierarchy_report(kg, oracle.SEED_PLACE).count()),
+        ("c9_museums_knn",
+         lambda: workload.q_museums(kg, oracle.SEED_CITY).count()),
+        ("c2_population_topk", lambda: workload.q_population(kg).count()),
+        ("dedup_minhash_lsh",
+         lambda: dedup.minhash_near_dups(docs, threshold=0.5).count()),
+        ("ann_knn_per_label",
+         lambda: similarity.pairwise_topk_per_label(emb, k=3).count()),
+    ]
 
-    kg = build.build_kg(spark, SF_DIR).cache()
-    kg.count()
-    timed("c4_descendants",
-          lambda: workload.q_descendants(kg, oracle.SEED_ADM1).count())
-    timed("c8_hierarchy_report",
-          lambda: workload.q_hierarchy_report(kg, oracle.SEED_PLACE).count())
-    timed("c9_museums_knn",
-          lambda: workload.q_museums(kg, oracle.SEED_CITY).count())
-    timed("c2_population_topk",
-          lambda: workload.q_population(kg).count())
+    timings: dict[str, float] = {}
+    counts: dict[str, int] = {}
+    for _ in range(reps):
+        for name, fn in suite:
+            t0 = time.time()
+            counts[name] = fn()
+            dt = time.time() - t0
+            if name not in timings or dt < timings[name]:
+                timings[name] = dt
+    timings = {k: round(v, 3) for k, v in timings.items()}
     kg.unpersist()
-
-    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    timed("dedup_minhash_lsh",
-          lambda: dedup.minhash_near_dups(docs, threshold=0.5).count())
-    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
-    timed("ann_knn_per_label",
-          lambda: similarity.pairwise_topk_per_label(emb, k=3).count())
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -85,6 +90,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "rows": counts,
+        "reps": reps,
         "triples_per_sec": round(counts["kg_full_build"] / timings["kg_full_build"]),
         "pages_per_sec": round(N_PAGES / timings["web_pipeline"]),
         "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),

@@ -83,8 +83,53 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
     )
 
 
+def _guard_oversized_buckets(keyed: DataFrame, key_cols: list[str],
+                             id_col: str, max_bucket: int, mode: str,
+                             observation=None) -> tuple[DataFrame, list[str]]:
+    """Cap the per-bucket cardinality of an LSH candidate self-join.
+
+    One boilerplate-heavy cluster (cookie banners, SEO templates) can put
+    10^6+ docs into a single band bucket and turn the within-bucket join
+    quadratic.  This guard counts rows per bucket (one extra shuffle,
+    co-partitioned with the candidate join) and either:
+
+    - ``mode='drop'``  — skips oversized buckets entirely (recall loss is
+      confined to documents that ONLY collide in mega-buckets — for
+      near-dup dedup those are exactly the boilerplate clusters exact
+      dedup should collapse first);
+    - ``mode='split'`` — salts each oversized bucket into
+      ``ceil(n/max_bucket)`` groups joined within-group only, bounding
+      work at ~max_bucket^2 per group (cross-group pairs in that bucket
+      are sacrificed — a documented recall cap, never silent work blowup).
+
+    ``observation`` (pyspark Observation) rides the next action with
+    (oversized_rows, total_rows) so lineage can record what was degraded.
+    Returns (guarded_df, extra_join_key_cols).
+    """
+    counts = keyed.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_bn"))
+    out = keyed.join(counts, key_cols)
+    if observation is not None:
+        out = out.observe(
+            observation,
+            F.count_if(F.col("_bn") > max_bucket).alias("oversized_rows"),
+            F.count(F.lit(1)).alias("total_rows"),
+        )
+    if mode == "drop":
+        return out.filter(F.col("_bn") <= max_bucket).drop("_bn"), []
+    if mode == "split":
+        n_groups = F.greatest(
+            F.ceil(F.col("_bn") / F.lit(max_bucket)), F.lit(1))
+        out = (out.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col(id_col).cast("string")), n_groups))
+            .drop("_bn"))
+        return out, ["_salt"]
+    raise ValueError(f"oversize mode must be 'drop' or 'split', got {mode!r}")
+
+
 def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16,
-                        n_hashes: int = 64) -> DataFrame:
+                        n_hashes: int = 64, max_bucket: int | None = None,
+                        oversize: str = "split",
+                        guard_observation=None) -> DataFrame:
     """Band the signatures, bucket-join, emit candidate (id_a < id_b) pairs.
 
     One shuffle keyed by (band, bucket-hash); hot buckets are bounded by
@@ -122,10 +167,15 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16,
             ])
         ).alias("band", "bucket"),
     )
+    join_keys = ["band", "bucket"]
+    if max_bucket is not None:
+        banded, extra = _guard_oversized_buckets(
+            banded, join_keys, "id", max_bucket, oversize, guard_observation)
+        join_keys = join_keys + extra
     a = banded.alias("a")
     b = banded.alias("b")
     return (
-        a.join(b, ["band", "bucket"])
+        a.join(b, join_keys)
         .filter(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
@@ -152,7 +202,9 @@ def minhash_similarity(sigs: DataFrame, pairs: DataFrame) -> DataFrame:
 def minhash_near_dups(docs: DataFrame, threshold: float = 0.6,
                       text_col: str = "text", id_col: str = "doc_id",
                       k: int = 3, n_hashes: int = 64,
-                      bands: int = 16) -> DataFrame:
+                      bands: int = 16, max_bucket: int | None = None,
+                      oversize: str = "split",
+                      guard_observation=None) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: (id_a, id_b, est_jaccard).
 
     The signature table feeds three consumers (banding + both sides of
@@ -161,10 +213,16 @@ def minhash_near_dups(docs: DataFrame, threshold: float = 0.6,
     blocks are released by the ContextCleaner when the DataFrame becomes
     unreachable (a plain persist here would leak one cached table into
     the session per call).
+
+    ``max_bucket`` arms the per-bucket cardinality guard
+    (``_guard_oversized_buckets``) so one boilerplate cluster cannot make
+    a band bucket quadratic; None (default) keeps exact LSH semantics.
     """
     sigs = minhash_signatures(docs, text_col, id_col, k,
                               n_hashes).localCheckpoint(eager=False)
-    pairs = lsh_candidate_pairs(sigs, bands, n_hashes=n_hashes)
+    pairs = lsh_candidate_pairs(sigs, bands, n_hashes=n_hashes,
+                                max_bucket=max_bucket, oversize=oversize,
+                                guard_observation=guard_observation)
     return minhash_similarity(sigs, pairs).filter(
         F.col("est_jaccard") >= threshold
     )
@@ -350,7 +408,10 @@ def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95,
                         vec_col: str = "embedding",
                         id_col: str = "vec_id",
                         planes: int = 16,
-                        dim: int | None = None) -> DataFrame:
+                        dim: int | None = None,
+                        max_bucket: int | None = None,
+                        oversize: str = "split",
+                        guard_observation=None) -> DataFrame:
     """Embedding-cosine near-dup via hyperplane-LSH candidates + exact
     cosine verify.  (id_a, id_b, cosine).
 
@@ -374,9 +435,14 @@ def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95,
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
         lsh_bucket(F.col(vec_col), planes, dim=dim).alias("bucket"),
     )
+    join_keys = ["bucket"]
+    if max_bucket is not None:
+        sig, extra = _guard_oversized_buckets(
+            sig, join_keys, "id", max_bucket, oversize, guard_observation)
+        join_keys = join_keys + extra
     a, b = sig.alias("a"), sig.alias("b")
     cand = (
-        a.join(b, "bucket")
+        a.join(b, join_keys)
         .filter(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("id_a"), F.col("a.v").alias("va"),
                 F.col("b.id").alias("id_b"), F.col("b.v").alias("vb"))

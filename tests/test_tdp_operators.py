@@ -63,6 +63,31 @@ def test_simhash_near_dups(docs):
     assert found >= 30
 
 
+def test_lsh_bucket_guard_bounds_pathological_bucket(spark):
+    """400 near-identical docs put ALL rows in every band bucket (the
+    boilerplate-cluster pathology).  The guard bounds the candidate join:
+    'split' salts the mega-bucket into ~max_bucket-sized groups, 'drop'
+    skips it, and the observation records what was degraded."""
+    from pyspark.sql import Observation
+
+    d = spark.createDataFrame(
+        [(i, "the same boilerplate text repeated here") for i in range(400)],
+        ["doc_id", "text"],
+    )
+    sigs = dedup.minhash_signatures(d).localCheckpoint()
+    obs = Observation("lsh_guard_test")
+    n_split = dedup.lsh_candidate_pairs(
+        sigs, max_bucket=50, oversize="split", guard_observation=obs).count()
+    # unguarded would emit 400*399/2 = 79800 pairs; 8 salt groups of ~50
+    # leave ~8 * C(50,2) = 9800
+    assert 0 < n_split < 20000
+    assert obs.get["oversized_rows"] > 0
+    assert obs.get["total_rows"] == 400 * 16  # 16 bands
+    n_drop = dedup.lsh_candidate_pairs(
+        sigs, max_bucket=50, oversize="drop").count()
+    assert n_drop == 0  # the only bucket was oversized and is skipped
+
+
 def test_simhash_blocking_stays_linear_on_hot_chunk(spark):
     """The adversarial corpus for the OLD one-chunk blocking key: 2000
     distinct simhash values all sharing their low 16 bits.  A 16-bit

@@ -79,3 +79,43 @@ def test_connected_components():
     assert cc["a"] == cc["b"] == cc["c"] == "a"
     assert cc["x"] == cc["y"] == "x"
     assert cc["p"] == "p"
+
+
+def test_connected_components_log_rounds_on_long_chain(spark):
+    """Pointer doubling: a 120-node chain converges within ~log2 rounds.
+    The old one-hop hash-min needed ~120 rounds here and would raise."""
+    n = 120
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "a bigint, b bigint")
+    cc = graph.connected_components(edges, max_iter=12).collect()
+    assert {r["component"] for r in cc} == {0}
+    assert len(cc) == n
+
+
+def test_fixpoint_truncation_raises(spark):
+    """Exhausting max_iter with work left must fail loudly, not return a
+    silently incomplete closure / split components."""
+    n = 30
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src bigint, dst bigint")
+    seeds = spark.createDataFrame([(0,)], "node bigint")
+    with pytest.raises(graph.FixpointNotConverged):
+        graph.transitive_closure(chain, seeds, max_iter=3)
+    with pytest.raises(graph.FixpointNotConverged):
+        graph.connected_components(
+            chain.withColumnsRenamed({"src": "a", "dst": "b"}), max_iter=1)
+    # warn mode: explicit opt-in to the truncated result
+    with pytest.warns(RuntimeWarning):
+        out = graph.transitive_closure(chain, seeds, max_iter=3,
+                                       on_max_iter="warn")
+    assert out.count() == 4  # depths 0..3 — the truncation is visible
+
+
+def test_transitive_closure_exact_boundary_converges(spark):
+    """A depth-d closure with max_iter=d converges (the post-loop probe
+    must not false-positive when the frontier empties on the last round)."""
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(3)], "src bigint, dst bigint")
+    seeds = spark.createDataFrame([(0,)], "node bigint")
+    out = graph.transitive_closure(chain, seeds, max_iter=3)
+    assert out.count() == 4
