@@ -140,6 +140,11 @@ def _q_c12(spark, sf_dir):
     return workload.q_code_labels_in_kg(_kg(spark, sf_dir))
 
 
+def _q_c12_all(spark, sf_dir):
+    # full concept-set coverage: all 690 ontology concepts + usage counts
+    return workload.q_all_code_labels(_kg(spark, sf_dir))
+
+
 # --- web-scale KG pipeline (north star; AC-UDF stages => rows-only checks) -
 
 def _q_pipe_mentions(spark, sf_dir):
@@ -405,6 +410,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c8_hierarchy_report": _q_c8,
         "c9_museums_knn": _q_c9,
         "c12_code_labels": _q_c12,
+        "c12_all_code_labels": _q_c12_all,
         "gaz_best_names": _q_best_names,
         "gaz_country_codes": _q_country_codes,
         "gaz_admin_lookup3": _q_admin_lookup3,

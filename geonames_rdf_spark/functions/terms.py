@@ -23,17 +23,30 @@ def slugify(asciiname: Column) -> Column:
 
 
 def iri(term: Column | str) -> Column:
-    """Render an IRI string as an N-Triples term ``<...>``."""
+    """Render an IRI string as an N-Triples term ``<...>``; blank-node
+    labels (``_:b0``) pass through bare (``<_:b0>`` is invalid NT)."""
     c = F.lit(term) if isinstance(term, str) else term
-    return F.concat(F.lit("<"), c, F.lit(">"))
+    return F.when(c.startswith("_:"), c).otherwise(
+        F.concat(F.lit("<"), c, F.lit(">")))
+
+
+def escape_literal(value: Column) -> Column:
+    """Canonical N-Triples/Turtle string escaping: ``\\ " \\n \\r \\t``.
+    Order matters — backslash first, or the escapes just added would be
+    re-escaped.  Without the control-char escapes a multiline literal
+    (the ontology has multiline rdfs:comments) emits an unterminated
+    single-line string — an invalid document."""
+    esc = F.regexp_replace(value.cast("string"), r"\\", r"\\\\")
+    esc = F.regexp_replace(esc, '"', r'\\"')
+    esc = F.regexp_replace(esc, "\n", r"\\n")
+    esc = F.regexp_replace(esc, "\r", r"\\r")
+    esc = F.regexp_replace(esc, "\t", r"\\t")
+    return esc
 
 
 def lit_typed(value: Column, dtype: str | None = None, lang: Column | None = None) -> Column:
     """Render a literal as canonical N-Triples: ``"v"``, ``"v"@lang``, ``"v"^^<dt>``."""
-    esc = F.regexp_replace(
-        F.regexp_replace(value.cast("string"), r"\\", r"\\\\"), '"', r'\\"'
-    )
-    base = F.concat(F.lit('"'), esc, F.lit('"'))
+    base = F.concat(F.lit('"'), escape_literal(value), F.lit('"'))
     if lang is not None:
         return F.when(
             lang.isNotNull(), F.concat(base, F.lit("@"), lang)
@@ -45,10 +58,9 @@ def lit_typed(value: Column, dtype: str | None = None, lang: Column | None = Non
 
 def nt_term(obj: Column, obj_is_iri: Column, obj_lang: Column, obj_dt: Column) -> Column:
     """Canonical N-Triples term from the 4-column object representation."""
-    esc = F.regexp_replace(F.regexp_replace(obj, r"\\", r"\\\\"), '"', r'\\"')
-    quoted = F.concat(F.lit('"'), esc, F.lit('"'))
+    quoted = F.concat(F.lit('"'), escape_literal(obj), F.lit('"'))
     return (
-        F.when(obj_is_iri, F.concat(F.lit("<"), obj, F.lit(">")))
+        F.when(obj_is_iri, iri(obj))
         .when(obj_lang.isNotNull(), F.concat(quoted, F.lit("@"), obj_lang))
         .when(obj_dt.isNotNull(), F.concat(quoted, F.lit("^^<"), obj_dt, F.lit(">")))
         .otherwise(quoted)

@@ -208,6 +208,51 @@ def train_ivf_centroids(embeddings: DataFrame, k: int = 8, iters: int = 2,
     return centroids
 
 
+def nearest_cells(centroids: list[list[float]], query_vec: list[float],
+                  nprobe: int) -> list[int]:
+    """Indices of the ``nprobe`` centroids nearest the query (driver-side
+    — the centroid list is the tiny coarse quantizer)."""
+    def sq(c):
+        return sum((a - b) * (a - b) for a, b in zip(c, query_vec))
+
+    return sorted(range(len(centroids)), key=lambda i: sq(centroids[i]))[:nprobe]
+
+
+def write_ivf_index(embeddings: DataFrame, centroids: list[list[float]],
+                    path: str, vec_col: str = "embedding",
+                    mode: str = "overwrite") -> None:
+    """Materialize the IVF assignment as a parquet table PARTITIONED BY
+    ``_cell`` — the corpus-scale layout: a probe then reads only the
+    ``nprobe`` matching partition directories (partition pruning is a
+    METADATA operation; 10^12 vectors across 4096 cells means a 2-probe
+    query touches ~0.05% of the files).  ``ann_ivf_topk`` computes the
+    same assignment inline for ad-hoc corpora."""
+    (ivf_assign(embeddings, centroids, vec_col)
+     .write.mode(mode).partitionBy("_cell").parquet(path))
+
+
+def ann_ivf_topk_stored(spark, path: str, query_vec: list[float],
+                        centroids: list[list[float]], k: int = 10,
+                        nprobe: int = 2, vec_col: str = "embedding",
+                        id_col: str = "vec_id") -> DataFrame:
+    """IVF ANN over a stored ``write_ivf_index`` table: the ``_cell``
+    filter prunes to the probed partitions before any IO (plan-asserted
+    in tests/test_plans.py), then the exact cosine re-rank runs on the
+    surviving slice only.  Output schema matches ``cosine_topk``."""
+    probe = nearest_cells(centroids, query_vec, nprobe)
+    q = _query_lit(query_vec)
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("_cell").isin(*probe))
+        .select(
+            F.col(id_col),
+            F.round(cosine_expr(F.col(vec_col), q), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def ann_ivf_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
                  centroids: list[list[float]] | None = None,
                  n_cells: int = 8, nprobe: int = 2,
@@ -218,16 +263,10 @@ def ann_ivf_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
     assignment is a stored partition column (partition pruning makes the
     probe a metadata operation); here it is computed inline.
     Output schema matches ``cosine_topk``."""
-    import math
-
     if centroids is None:
         centroids = train_ivf_centroids(embeddings, k=n_cells,
                                         vec_col=vec_col, id_col=id_col)
-
-    def sq(c):
-        return sum((a - b) * (a - b) for a, b in zip(c, query_vec))
-
-    probe = sorted(range(len(centroids)), key=lambda i: sq(centroids[i]))[:nprobe]
+    probe = nearest_cells(centroids, query_vec, nprobe)
     assigned = ivf_assign(embeddings, centroids, vec_col)
     q = _query_lit(query_vec)
     return (

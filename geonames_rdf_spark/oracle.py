@@ -528,6 +528,25 @@ FROM kg k JOIN (
 WHERE k.pred = '{gn}featureCode'
 """
         ),
+        "c12_all_code_labels": (
+            kg_cte() + f"""
+SELECT c.code_iri, l.label, COALESCE(u.n_features, 0) AS n_features
+FROM (
+  SELECT subj AS code_iri FROM kg
+  WHERE pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+    AND obj = '{gn}Code'
+) c
+LEFT JOIN (
+  SELECT subj AS code_iri, obj AS label FROM kg
+  WHERE pred = 'http://www.w3.org/2004/02/skos/core#prefLabel'
+    AND obj_lang = 'en'
+) l USING (code_iri)
+LEFT JOIN (
+  SELECT obj AS code_iri, COUNT(*) AS n_features FROM kg
+  WHERE pred = '{gn}featureCode' GROUP BY obj
+) u USING (code_iri)
+"""
+        ),
     }
 
 

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from geonames_rdf_spark import vocab
-from geonames_rdf_spark.functions.terms import feature_uri, nt_term
+from geonames_rdf_spark.functions.terms import feature_uri, iri, nt_term
 from geonames_rdf_spark.operators import build
 from geonames_rdf_spark.pipeline import corpus, extract, link, mentions
 
@@ -172,7 +172,7 @@ def to_ntriples(triples: DataFrame) -> DataFrame:
     return triples.select(
         F.concat_ws(
             " ",
-            F.concat(F.lit("<"), F.col("subj"), F.lit(">")),
+            iri(F.col("subj")),  # blank-node subjects (_:b0) render bare
             F.concat(F.lit("<"), F.col("pred"), F.lit(">")),
             nt_term(F.col("obj"), F.col("obj_is_iri"),
                     F.col("obj_lang"), F.col("obj_dt")),

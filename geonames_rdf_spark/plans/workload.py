@@ -333,6 +333,39 @@ def q_code_labels(triples: DataFrame, labels: DataFrame) -> DataFrame:
     )
 
 
+def q_all_code_labels(triples: DataFrame) -> DataFrame:
+    """C12 over the FULL concept set: every gn:Code concept in the merged
+    ontology block (690 in ontology v3.3) with its skos:prefLabel@en and
+    the number of features carrying that code (0 for unused concepts).
+
+    Usage aggregates FIRST (map-side-combinable count keyed by code), then
+    broadcast-joins to the dimension-sized concept/label slices — the big
+    table is touched once per slice, never fanned out."""
+    concepts = (
+        triples.filter((F.col("pred") == vocab.RDF_TYPE)
+                       & (F.col("obj") == vocab.GN + "Code"))
+        .select(F.col("subj").alias("code_iri"))
+    )
+    labels = (
+        triples.filter(
+            (F.col("pred") == F.lit(vocab.SKOS + "prefLabel"))
+            & (F.col("obj_lang") == "en")
+        )
+        .select(F.col("subj").alias("code_iri"), F.col("obj").alias("label"))
+    )
+    usage = (
+        triples.filter(F.col("pred") == vocab.GN_FEATURE_CODE)
+        .groupBy(F.col("obj").alias("code_iri"))
+        .agg(F.count(F.lit(1)).alias("n_features"))
+    )
+    return (
+        concepts.join(F.broadcast(labels), "code_iri", "left")
+        .join(usage, "code_iri", "left")
+        .select("code_iri", "label",
+                F.coalesce("n_features", F.lit(0)).alias("n_features"))
+    )
+
+
 def code_label_table(spark) -> DataFrame:
     """Static ontology label dimension — the checked-in concept table
     (sources/ontology.py, mirroring ontology_v3.3 skos:prefLabel@en)."""

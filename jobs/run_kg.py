@@ -22,7 +22,14 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--out", required=True)
-    ap.add_argument("--pages", type=int, default=10000)
+    ap.add_argument("--pages-table", default=None,
+                    help="stored corpus to read (parquet path or catalog"
+                         " table name, via sources.catalog.read_table) —"
+                         " the PRODUCTION input; must carry (url, html,"
+                         " lang) columns")
+    ap.add_argument("--pages", type=int, default=10000,
+                    help="sandbox fallback: synthesize this many pages"
+                         " when no --pages-table is given")
     ap.add_argument("--buckets", type=int, default=32)
     ap.add_argument("--resume", action="store_true",
                     help="skip buckets already marked done in the lineage table")
@@ -34,6 +41,7 @@ def main() -> None:
     from geonames_rdf_spark.pipeline import (
         corpus, lineage, materialize, mentions,
     )
+    from geonames_rdf_spark.sources import catalog
 
     spark = SparkSession.builder.appName("kg-construct").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -51,7 +59,14 @@ def main() -> None:
     bundle_bc = spark.sparkContext.broadcast(
         (build_matcher({k: [] for k in smap}), smap))
 
-    pages = corpus.synthesize_pages(spark, surfaces, args.pages)
+    if args.pages_table:
+        # production path: scan the stored corpus (Iceberg table name or
+        # parquet path) — the measured fused/broadcast-once shape runs
+        # against real storage, matching the scaling harness
+        pages = catalog.read_table(spark, args.pages_table)
+    else:
+        # sandbox fallback: deterministic synthesis (no external data)
+        pages = corpus.synthesize_pages(spark, surfaces, args.pages)
 
     def triples_for(subset):
         linked = mentions.detect_and_link(subset, smap, from_html=True,

@@ -98,10 +98,17 @@ def test_canonicalize_rewrites_links(spark):
 
 
 def test_lineage_resume_exact(spark, tmp_path):
-    """Kill after k buckets, resume, final triple set == one-shot run."""
+    """Kill after k buckets, resume, final triple set == one-shot run —
+    reading the corpus from a STORED table path (the production shape
+    jobs/run_kg.py --pages-table runs), not the in-memory synth plan."""
+    from geonames_rdf_spark.sources import catalog
+
     tables = build.gazetteer_tables(spark, SF)
     surfaces = corpus.gazetteer_surfaces(tables["features"])
-    pages = corpus.synthesize_pages(spark, surfaces, 120)
+    corpus_path = str(tmp_path / "pages_store")
+    catalog.write_table(
+        corpus.synthesize_pages(spark, surfaces, 120), corpus_path)
+    pages = catalog.read_table(spark, corpus_path)
     smap = mentions.build_surface_map(tables["features"])
 
     def triples_for(subset):
@@ -131,7 +138,8 @@ def test_ntriples_sink_roundtrip(spark, tmp_path, result):
     materialize.write_ntriples(t, path)
     lines = spark.read.text(path)
     assert lines.count() == 500
-    assert lines.filter(~F.col("value").rlike(r"^<[^>]+> <[^>]+> .+ \.$")).count() == 0
+    assert lines.filter(~F.col("value").rlike(
+        r"^(<[^>]+>|_:[A-Za-z0-9]+) <[^>]+> .+ \.$")).count() == 0
 
 
 def test_fused_link_equivalence(spark):

@@ -65,3 +65,45 @@ def test_code_labels_in_kg_broadcasts_label_side(spark):
     plan = plan_of(workload.q_code_labels_in_kg(kg))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_ivf_stored_index_partition_pruning(spark, tmp_path):
+    """The stored IVF index is partitioned by _cell and a probe PRUNES to
+    the nprobe partitions — at 10^12 vectors this is the difference
+    between a metadata lookup and a full corpus scan."""
+    from geonames_rdf_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = similarity.fixed_centroids(k=8, dim=len(
+        emb.select("embedding").first()["embedding"]))
+    path = str(tmp_path / "ivf_index")
+    similarity.write_ivf_index(emb, cents, path)
+    q = [0.1] * len(cents[0])
+    probed = similarity.ann_ivf_topk_stored(spark, path, q, cents, nprobe=2)
+    plan = plan_of(probed)
+    # the _cell predicate must be a PARTITION filter (metadata), not a
+    # pushed data filter
+    part = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "_cell" in part
+    # correctness of the stored path: same result as the inline probe
+    inline = similarity.ann_ivf_topk(emb, q, centroids=cents, nprobe=2)
+    assert [r.asDict() for r in probed.collect()] == \
+        [r.asDict() for r in inline.collect()]
+    # functional pruning proof: physically remove every NON-probed
+    # partition directory — the probe must still succeed (it never reads
+    # them), while a pre-listed full scan must fail on the missing files
+    import glob as _glob
+    import shutil
+
+    probe_cells = set(similarity.nearest_cells(cents, q, 2))
+    full_before = spark.read.parquet(path)
+    removed = 0
+    for d in _glob.glob(path + "/_cell=*"):
+        if int(d.rsplit("=", 1)[1]) not in probe_cells:
+            shutil.rmtree(d)
+            removed += 1
+    assert removed > 0
+    assert [r.asDict() for r in probed.collect()] == \
+        [r.asDict() for r in inline.collect()]
+    with pytest.raises(Exception):
+        full_before.count()

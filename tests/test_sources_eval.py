@@ -41,6 +41,32 @@ def test_ntriples_roundtrip(spark, tmp_path):
     assert back.exceptAll(a).count() == 0
 
 
+def test_ntriples_roundtrip_adversarial_literals(spark, tmp_path):
+    """Control chars, escape-collision sequences (backslash-n vs newline),
+    and blank-node subjects/objects survive sink -> source exactly."""
+    rows = [
+        ("http://e/s1", "http://e/p", 'quote " here', False, None, None),
+        ("http://e/s1", "http://e/p", "tab\there", False, "en", None),
+        ("http://e/s1", "http://e/p", "multi\nline\rliteral", False, None, None),
+        ("http://e/s1", "http://e/p", "backslash \\n not newline", False,
+         None, "http://www.w3.org/2001/XMLSchema#string"),
+        ("http://e/s1", "http://e/p", "\\", False, None, None),
+        ("_:b0", "http://e/p", "_:b1", True, None, None),
+        ("_:b1", "http://e/p", "http://e/o", True, None, None),
+    ]
+    t = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, obj_is_iri boolean,"
+              " obj_lang string, obj_dt string")
+    path = str(tmp_path / "adv_nt")
+    materialize.write_ntriples(t, path)
+    lines = {r["value"] for r in spark.read.text(path).collect()}
+    assert '<http://e/s1> <http://e/p> "multi\\nline\\rliteral" .' in lines
+    assert '_:b0 <http://e/p> _:b1 .' in lines
+    back = ntriples.read_ntriples(spark, path)
+    assert back.exceptAll(t).count() == 0
+    assert t.exceptAll(back).count() == 0
+
+
 def test_triple_pr_exact_match(spark):
     kg = build.build_kg(spark, SF)
     pr = evaluation.triple_pr(kg, kg)

@@ -55,6 +55,48 @@ def test_turtle_prefix_compaction_rules(spark):
     assert f"<{vocab.GN}1abc>" in row["line"]
 
 
+def test_turtle_write_read_write_roundtrip(spark, tmp_path):
+    """A8 both ways: write -> read returns the exact triple set, and a
+    second write of the read-back is byte-identical (golden)."""
+    s = vocab.SWS + "42/"
+    rows = [
+        (s, vocab.RDF_TYPE, vocab.GN_FEATURE, True, None, None),
+        (s, vocab.GN_NAME, 'esc "q\\uote\nline', False, None, None),
+        (s, vocab.GN_OFFICIAL_NAME, "Berlin", False, "de", None),
+        (s, vocab.GN_POPULATION, "3600000", False, None, vocab.XSD_INTEGER),
+        (s, vocab.GN_PARENT_FEATURE, vocab.SWS + "7/", True, None, None),
+        ("_:b0", vocab.RDFS_SEE_ALSO, "_:b1", True, None, None),
+        ("_:b1", vocab.GN_NAME, "blank", False, None, None),
+        ("s-plain", "https://example.org/p", "https://example.org/o",
+         True, None, None),
+    ]
+    t = _df(spark, rows)
+    out1 = str(tmp_path / "ttl1")
+    turtle.write_turtle(t, out1, sort=True)
+    back = turtle.read_turtle(spark, out1)
+    assert back.exceptAll(t).count() == 0
+    assert t.exceptAll(back).count() == 0
+    out2 = str(tmp_path / "ttl2")
+    turtle.write_turtle(back.coalesce(1), out2, sort=True)
+
+    def doc(path):
+        return "".join(open(p).read() for p in sorted(glob.glob(path + "/part-*")))
+
+    d1, d2 = doc(out1), doc(out2)
+    assert d1.strip() and d1 == d2
+
+
+def test_parse_turtle_rejects_unsupported(spark):
+    import pytest
+
+    with pytest.raises(ValueError):
+        turtle.parse_turtle_text("<http://e/s> <http://e/p> [ ] .")
+    with pytest.raises(ValueError):
+        turtle.parse_turtle_text("<http://e/s> <http://e/p> <http://e/o>")
+    with pytest.raises(ValueError):
+        turtle.parse_turtle_text('gn:x gn:p "v" .')  # undeclared prefix
+
+
 def test_turtle_write_parts_are_valid_and_concatenable(spark, tmp_path):
     rows = [
         (vocab.SWS + f"{i}/", vocab.GN_NAME, f"n{i}", False, None, None)
