@@ -234,6 +234,27 @@ def _q_rolling_fp(spark, sf_dir):
     return textstats.rolling_fingerprint(_docs(spark, sf_dir))
 
 
+def _q_lang_stopword(spark, sf_dir):
+    from geonames_rdf_spark.operators import textstats
+
+    return textstats.lang_stopword_ratio(_docs(spark, sf_dir))
+
+
+def _q_corpus_composition(spark, sf_dir):
+    from geonames_rdf_spark.operators import textstats
+
+    return textstats.corpus_composition(_docs(spark, sf_dir))
+
+
+def _q_sample_stratified(spark, sf_dir):
+    from geonames_rdf_spark.operators import sampling
+
+    return sampling.sample_stratified(
+        _docs(spark, sf_dir), sampling.DEMO_RATES,
+        default_rate=sampling.DEMO_DEFAULT_RATE,
+    ).select("doc_id", "source")
+
+
 def _docs_with_dups(spark, sf_dir):
     d = _docs(spark, sf_dir)
     dups = d.filter(F.col("doc_id") % 3 == 0).withColumn(
@@ -353,6 +374,12 @@ def _q_events_sessionize(spark, sf_dir):
     )
 
 
+def _q_events_props(spark, sf_dir):
+    from geonames_rdf_spark.streaming import events as ev
+
+    return ev.props_stats(_events(spark, sf_dir))
+
+
 def _q_events_approx(spark, sf_dir):
     from geonames_rdf_spark.streaming import events as ev
 
@@ -379,6 +406,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed_stats": _q_events_windowed,
         "events_sessionize": _q_events_sessionize,
         "events_approx_stats": _q_events_approx,
+        "events_props_stats": _q_events_props,
         "text_token_count": _q_token_count,
         "text_quality_features": _q_quality,
         "text_quality_score": _q_quality_score,
@@ -386,6 +414,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _q_fingerprint,
         "text_bpe_token_count": _q_bpe_tokens,
         "text_rolling_fingerprint": _q_rolling_fp,
+        "text_lang_stopword_ratio": _q_lang_stopword,
+        "corpus_composition": _q_corpus_composition,
+        "sample_stratified": _q_sample_stratified,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_minhash,
         "dedup_simhash": _q_simhash,

@@ -52,14 +52,22 @@ def transitive_closure(
     non-empty after ``max_iter`` rounds (a deeper-than-expected hierarchy
     must fail loudly, not return a silently truncated closure).
     """
+    from functools import reduce
+
     # the edge list is re-joined every iteration — materialize it once
     # instead of re-deriving it from the (possibly expensive) parent plan
     edges = edges.select("src", "dst").cache()
-    result = seeds.select("node").distinct().withColumn("depth", F.lit(0))
-    result = result.localCheckpoint(eager=True)
-    frontier = result
+    first = seeds.select("node").distinct().withColumn("depth", F.lit(0))
+    first = first.localCheckpoint(eager=True)
+    # the visited set is kept as a LIST of per-level checkpointed
+    # frontiers and unioned lazily: the anti-join scans the same rows
+    # either way, but this saves one eager checkpoint JOB per iteration
+    # (at small frontiers the per-job overhead dominates the level cost)
+    visited = [first]
+    frontier = first
     converged = False
     for _ in range(max_iter):
+        result = reduce(DataFrame.unionByName, visited)
         nxt = (
             frontier.join(edges, frontier.node == edges.src)
             .select(F.col("dst").alias("node"), (F.col("depth") + 1).alias("depth"))
@@ -71,8 +79,9 @@ def transitive_closure(
         if nxt.isEmpty():
             converged = True
             break
-        result = result.unionByName(nxt).localCheckpoint(eager=True)
+        visited.append(nxt)
         frontier = nxt
+    result = reduce(DataFrame.unionByName, visited)
     if not converged:
         # one last probe: the final frontier may have emptied exactly on
         # the last allowed round (loop ended before the empty-check ran)

@@ -113,6 +113,58 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select("doc_id", expr.alias("lang_pred"), best.alias("marker_hits"))
 
 
+def lang_stopword_ratio(docs: DataFrame, text_col: str = "text",
+                        lang_col: str = "lang") -> DataFrame:
+    """Stopword ratio against the document's OWN language's markers (the
+    EN-marker ratio in ``quality_features`` systematically under-scores
+    non-English docs — this is the per-language correction a multilingual
+    curation pipeline needs).  Languages without a marker set score 0.
+    Pure Column CASE cascade — codegen, no UDF."""
+    t = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
+    hits = F.lit(0)
+    for lang in sorted(LANG_MARKERS):
+        s = sum((_occurrences(t, w) for w in LANG_MARKERS[lang]), F.lit(0))
+        hits = F.when(F.col(lang_col) == lang, s).otherwise(hits)
+    n_tok = token_count(F.col(text_col))
+    return docs.select(
+        "doc_id", F.col(lang_col).alias("lang"),
+        hits.alias("marker_hits"),
+        F.round(hits / F.greatest(n_tok, F.lit(1)), 4).alias("stopword_ratio"),
+    )
+
+
+def corpus_composition(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-(source, lang) corpus telemetry: doc count, token total, and
+    quality mass — the composition report every curation pipeline tracks
+    per shard (what am I training on, and how much of it?).
+
+    Quality sums in exact integer MICRO-units (quality is 6-dp, so
+    ``round(q * 1e6)`` is lossless): float summation order differs
+    between engines/partitionings, integer summation doesn't — the
+    report is bit-stable and oracle-replayable.  One map-side-combinable
+    groupBy; the quality join is by doc_id on the same scan."""
+    q = quality_score(docs, text_col)
+    base = docs.select(
+        "doc_id", "source", "lang",
+        token_count(F.col(text_col)).alias("_tok"),
+    )
+    j = base.join(q, "doc_id")
+    micro = F.round(F.col("quality") * 1e6).cast("bigint")
+    return (
+        j.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_tok").alias("total_tokens"),
+            F.sum(micro).alias("quality_micro_sum"),
+        )
+        .withColumn(
+            "mean_quality",
+            F.round(F.col("quality_micro_sum")
+                    / (F.col("n_docs") * F.lit(1e6)), 6),
+        )
+    )
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Canonical-form document fingerprint: md5 of the lower-cased,
     whitespace-collapsed text (stable across cosmetic edits)."""

@@ -653,8 +653,46 @@ SELECT doc_id,
   6) AS quality
 FROM documents
 """
+    lang_hits = {
+        lang: " + ".join(_occ("(' ' || lower(text) || ' ')", w) for w in ws)
+        for lang, ws in _MARKERS.items()
+    }
+    lang_hits_case = ("CASE lang " + " ".join(
+        f"WHEN '{lang}' THEN ({expr})"
+        for lang, expr in sorted(lang_hits.items())) + " ELSE 0 END")
+    lang_stopword = f"""
+SELECT doc_id, lang, CAST({lang_hits_case} AS INT) AS marker_hits,
+  round(({lang_hits_case}) / greatest({tok}, 1), 4) AS stopword_ratio
+FROM documents
+"""
+    corpus_composition = f"""
+WITH q AS ({quality_score.strip()}),
+b AS (SELECT doc_id, source, lang, {tok} AS tk FROM documents)
+SELECT b.source, b.lang, COUNT(*) AS n_docs,
+  CAST(SUM(b.tk) AS BIGINT) AS total_tokens,
+  CAST(SUM(CAST(round(q.quality * 1e6, 0) AS BIGINT)) AS BIGINT)
+    AS quality_micro_sum,
+  round(CAST(SUM(CAST(round(q.quality * 1e6, 0) AS BIGINT)) AS BIGINT)
+        / (COUNT(*) * 1e6), 6) AS mean_quality
+FROM b JOIN q USING (doc_id)
+GROUP BY b.source, b.lang
+"""
+
+    def _sample_stratified_sql() -> str:
+        from geonames_rdf_spark.operators import sampling
+
+        case = ("CASE source " + " ".join(
+            f"WHEN '{k}' THEN {sampling.DEMO_RATES[k]!r}"
+            for k in sorted(sampling.DEMO_RATES))
+            + f" ELSE {sampling.DEMO_DEFAULT_RATE!r} END")
+        return (f"SELECT doc_id, source FROM documents"
+                f" WHERE {sampling.uniform_hash_sql('doc_id')} < {case}")
+
     return {
         **neardup_sql(),
+        "text_lang_stopword_ratio": lang_stopword,
+        "corpus_composition": corpus_composition,
+        "sample_stratified": _sample_stratified_sql(),
         "text_quality_score": quality_score,
         "text_token_count": (
             f"SELECT doc_id, {tok} AS n_tokens FROM documents"
@@ -1162,6 +1200,12 @@ def neardup_sql() -> dict[str, str]:
 
 def streaming_sql() -> dict[str, str]:
     """DuckDB twins for the batch halves of the streaming layer."""
+    props = """
+SELECT event_type, COUNT(*) AS n, COUNT(k) AS n_with_k,
+       CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k
+FROM (SELECT event_type, json_extract(props, '$.k')::INT AS k FROM events)
+GROUP BY event_type
+"""
     windowed = """
 SELECT CAST(date_trunc('hour', ts) AS STRING) AS window_start,
        event_type, COUNT(*) AS n,
@@ -1201,4 +1245,5 @@ FROM events GROUP BY event_type
         "events_windowed_stats": windowed,
         "events_sessionize": sessionize,
         "events_approx_stats": approx,
+        "events_props_stats": props,
     }

@@ -37,6 +37,40 @@ OWL_DATATYPE_PROPERTY = vocab.OWL + "DatatypeProperty"
 FIXTURE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "data", "ontology_v33_static.parquet")
 
+_LOCAL_FIXTURE: str | None = None
+
+
+def fixture_path() -> str:
+    """Filesystem path of the fixture, ALSO when the package is deployed
+    as ``spark-submit --py-files pipeline.zip`` (the module then lives
+    inside the zip and ``FIXTURE_PATH`` is not a real file): the resource
+    is extracted once per process to a temp file via importlib.resources.
+
+    Local-mode note: the temp file is driver-local, which executors share
+    in ``local[*]``.  On a multi-node cluster set
+    ``SPARK_GRAFT_ONTOLOGY_PATH`` to a shared-storage copy (HDFS/S3 URI)
+    — a dimension this small is a one-time ``hdfs dfs -put``.
+    """
+    override = os.environ.get("SPARK_GRAFT_ONTOLOGY_PATH")
+    if override:
+        return override
+    global _LOCAL_FIXTURE
+    if os.path.isfile(FIXTURE_PATH):
+        return FIXTURE_PATH
+    if _LOCAL_FIXTURE is None or not os.path.isfile(_LOCAL_FIXTURE):
+        import importlib.resources
+        import shutil
+        import tempfile
+
+        ref = (importlib.resources.files("geonames_rdf_spark.sources")
+               / "data" / "ontology_v33_static.parquet")
+        fd, tmp = tempfile.mkstemp(suffix=".parquet",
+                                   prefix="ontology_v33_static_")
+        with os.fdopen(fd, "wb") as dst, ref.open("rb") as src:
+            shutil.copyfileobj(src, dst)
+        _LOCAL_FIXTURE = tmp
+    return _LOCAL_FIXTURE
+
 _TRIPLE_COLS = ("subj", "pred", "obj", "obj_is_iri", "obj_lang", "obj_dt")
 
 # property-definitions.ttl:7-8
@@ -64,7 +98,7 @@ def ontology_triple_rows() -> list[tuple]:
     dimension — thousands of rows)."""
     import pyarrow.parquet as pq
 
-    table = pq.read_table(FIXTURE_PATH)
+    table = pq.read_table(fixture_path())
     cols = [table.column(c).to_pylist() for c in _TRIPLE_COLS]
     return list(zip(*cols))
 
@@ -72,7 +106,7 @@ def ontology_triple_rows() -> list[tuple]:
 def ontology_triples(spark: SparkSession) -> DataFrame:
     """The static block as a triple DataFrame (a plain parquet scan —
     broadcast-sized, no driver-side local relation in the plan)."""
-    return spark.read.parquet(FIXTURE_PATH).select(*_TRIPLE_COLS)
+    return spark.read.parquet(fixture_path()).select(*_TRIPLE_COLS)
 
 
 def concept_labels() -> list[tuple[str, str]]:
@@ -88,6 +122,6 @@ def concept_labels() -> list[tuple[str, str]]:
 def oracle_values_sql() -> str:
     """The identical static block for DuckDB (oracle twin): the SAME
     parquet bytes the Spark side scans."""
-    path = FIXTURE_PATH.replace("'", "''")
+    path = fixture_path().replace("'", "''")
     return ("SELECT subj, pred, obj, obj_is_iri, obj_lang, obj_dt"
             f" FROM read_parquet('{path}')")

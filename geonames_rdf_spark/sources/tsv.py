@@ -7,6 +7,12 @@ per source — never inferSchema — with ``nullValue=''`` and tab delimiter.
 Chunking (CHUNK_SIZE=1M rows, download.sh:12) maps to Spark file-split
 partitioning (`spark.sql.files.maxPartitionBytes`) — built in, nothing to
 implement.
+
+Container formats: Spark reads gzip/bzip2/zstd TSV natively (codec by
+extension).  The reference's raw inputs are ZIP archives
+(download.sh:62-83), which Spark does NOT read — moot while external
+fetch (A1) is out of scope per the brief; a real deployment unzips at
+ingest (the reference does exactly that, once, before any processing).
 """
 
 from __future__ import annotations

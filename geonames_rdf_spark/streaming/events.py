@@ -44,6 +44,27 @@ def windowed_event_stats(events: DataFrame, minutes: int = 60) -> DataFrame:
     )
 
 
+def props_stats(events: DataFrame) -> DataFrame:
+    """Semi-structured props column: JSON-extract the ``k`` field and
+    aggregate per event type — the Spark-native path for the loosely-typed
+    payload columns web-event tables always carry (``get_json_object``
+    stays in codegen; no UDF, no schema migration needed when producers
+    add fields).  Integer aggregates only — exact and order-independent,
+    so the DuckDB twin matches bit-for-bit."""
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        events.select("event_type", k.alias("_k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("_k").alias("n_with_k"),
+            F.sum("_k").alias("sum_k"),
+            F.min("_k").alias("min_k"),
+            F.max("_k").alias("max_k"),
+        )
+    )
+
+
 def approx_event_stats(events: DataFrame) -> DataFrame:
     """Approximate-distinct / quantile sketch demo (HLL++ and GK) — the
     operators a 100 TB rollup actually uses; accuracy pinned by pytest

@@ -335,3 +335,55 @@ def test_multimodal_decode_roundtrip_and_resize():
     s = (np.sin(np.arange(800) * 0.02) * 20000).astype(np.int16)
     out, rate = multimodal.decode_wav_pcm16(multimodal.encode_wav_pcm16(s))
     assert rate == 16000 and (out == s).all()
+
+
+def test_sample_stratified_deterministic_and_rate_correct(docs, spark):
+    from geonames_rdf_spark.operators import sampling
+
+    rates = {"src0": 0.0, "src1": 1.0}
+    out = sampling.sample_stratified(docs, rates, default_rate=0.5)
+    a = {r["doc_id"] for r in out.collect()}
+    b = {r["doc_id"] for r in out.collect()}
+    assert a == b  # hash-deterministic, no RNG state
+    by_src = {r["source"]: r["doc_id"] for r in docs.collect()}  # noqa: F841
+    kept_src0 = out.filter("source = 'src0'").count()
+    kept_src1 = out.filter("source = 'src1'").count()
+    n_src1 = docs.filter("source = 'src1'").count()
+    assert kept_src0 == 0 and kept_src1 == n_src1
+    # default-rate strata keep roughly half (binomial, wide tolerance)
+    others = docs.filter("source NOT IN ('src0','src1')").count()
+    kept_others = out.filter("source NOT IN ('src0','src1')").count()
+    assert 0.3 * others < kept_others < 0.7 * others
+    # growth-stability: adding rows never flips existing decisions
+    bigger = docs.unionByName(
+        docs.withColumn("doc_id", F.col("doc_id") + 500000))
+    out2 = {r["doc_id"] for r in
+            sampling.sample_stratified(bigger, rates, default_rate=0.5)
+            .collect()}
+    assert a == {i for i in out2 if i < 500000}
+
+
+def test_corpus_composition_mass_conservation(docs):
+    comp = textstats.corpus_composition(docs).collect()
+    n = docs.count()
+    assert sum(r["n_docs"] for r in comp) == n
+    tok_total = (textstats.quality_features(docs)
+                 .agg(F.sum("n_tokens")).first()[0])
+    assert sum(r["total_tokens"] for r in comp) == tok_total
+    for r in comp:
+        expect = round(r["quality_micro_sum"] / (r["n_docs"] * 1e6), 6)
+        assert abs(r["mean_quality"] - expect) < 1e-9
+
+
+def test_lang_stopword_ratio_scores_own_language(spark):
+    d = spark.createDataFrame(
+        [(1, "der Hund und die Katze und der Vogel", "de"),
+         (2, "der Hund und die Katze und der Vogel", "en"),
+         (3, "some words entirely without markers", "zh")],
+        ["doc_id", "text", "lang"],
+    )
+    out = {r["doc_id"]: r for r in
+           textstats.lang_stopword_ratio(d).collect()}
+    assert out[1]["marker_hits"] > 0          # German text, German markers
+    assert out[2]["marker_hits"] == 0         # same text scored as English
+    assert out[3]["marker_hits"] == 0 and out[3]["stopword_ratio"] == 0.0
