@@ -179,6 +179,25 @@ def _q_pipe_canonical(spark, sf_dir):
     return canonicalize.canonical_map(edges)
 
 
+def _q_pipe_linked_canonical(spark, sf_dir):
+    """S4 + S5 END TO END: the linked mention stream — ids shifted +5M to
+    simulate a duplicate-entity world — rewritten to canonical ids
+    through the connected-components map.  Exercises the full
+    'salted hash-join dedup + CC over sameAs -> rewrite' path the north
+    star mandates, value-replayed in SQL (linked body + window-derived
+    canonical map + COALESCE join)."""
+    from geonames_rdf_spark.pipeline import canonicalize, materialize
+
+    stages = materialize.run_pipeline(spark, sf_dir, n_pages=500)
+    linked = stages["linked"].withColumn(
+        "geonameid", F.col("geonameid") + F.lit(5000000))
+    feats = build.gazetteer_tables(spark, sf_dir)["features"]
+    dup = feats.withColumn("geonameid", F.col("geonameid") + 5000000)
+    mapping = canonicalize.canonical_map(
+        canonicalize.sameas_edges(feats.unionByName(dup)))
+    return canonicalize.rewrite_links(linked, mapping)
+
+
 # --- training-data-pipeline operators (dedup / similarity / text) ---------
 
 def _docs(spark, sf_dir):
@@ -280,7 +299,9 @@ def _q_ann_topk(spark, sf_dir):
 def _q_knn_label(spark, sf_dir):
     from geonames_rdf_spark.operators import similarity
 
-    return similarity.pairwise_topk_per_label(_emb(spark, sf_dir), k=3)
+    # BLAS backend (applyInPandas matmul): 9x the Column-fold version,
+    # pytest-pinned equal output (test_knn_blas_backend_equivalence)
+    return similarity.pairwise_topk_per_label_blas(_emb(spark, sf_dir), k=3)
 
 
 def _q_ann_ivf(spark, sf_dir):
@@ -430,6 +451,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_linked": _q_pipe_linked,
         "pipeline_kg_triples": _q_pipe_triples,
         "pipeline_canonical_map": _q_pipe_canonical,
+        "pipeline_linked_canonical": _q_pipe_linked_canonical,
         "c1_scan_limit": _q_c1,
         "c2_population_topk": _q_c2,
         "c3_municipalities": _q_c3,

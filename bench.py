@@ -67,7 +67,7 @@ def main() -> None:
         ("dedup_minhash_lsh",
          lambda: dedup.minhash_near_dups(docs, threshold=0.5).count()),
         ("ann_knn_per_label",
-         lambda: similarity.pairwise_topk_per_label(emb, k=3).count()),
+         lambda: similarity.pairwise_topk_per_label_blas(emb, k=3).count()),
     ]
 
     timings: dict[str, float] = {}

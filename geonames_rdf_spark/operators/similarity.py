@@ -149,6 +149,54 @@ def pairwise_topk_per_label(embeddings: DataFrame, k: int = 3,
     )
 
 
+def pairwise_topk_per_label_blas(embeddings: DataFrame, k: int = 3,
+                                 vec_col: str = "embedding",
+                                 id_col: str = "vec_id",
+                                 label_col: str = "label") -> DataFrame:
+    """BLAS backend for ``pairwise_topk_per_label``: one Arrow batch per
+    label group, cosine as a single numpy matmul (X̂ X̂ᵀ), argpartition
+    top-k — the O(n²d) inner product runs in optimized BLAS instead of
+    per-pair Column folds.  Same output contract (cosine rounded to 6 dp,
+    ties broken by ascending id); equivalence to the Column version is
+    pytest-pinned.  Scale shape: one task per label group (the blocking
+    key bounds group size — for unbounded groups go IVF)."""
+    import pandas as pd
+
+    def topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": [],
+                                 "rn": []}).astype(
+                {"id_a": "int64", "id_b": "int64",
+                 "cosine": "float64", "rn": "int32"})
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids)  # ascending-id order makes ties stable
+        ids = ids[order]
+        X = np.stack(pdf[vec_col].to_numpy()[order]).astype(np.float64)
+        Xh = X / np.linalg.norm(X, axis=1, keepdims=True)
+        S = np.round(Xh @ Xh.T, 6)
+        np.fill_diagonal(S, -np.inf)  # exclude self
+        kk = min(k, n - 1)
+        # stable mergesort on -S: equal cosines keep ascending-id order
+        idx = np.argsort(-S, axis=1, kind="stable")[:, :kk]
+        rows = np.repeat(np.arange(n), kk)
+        cols = idx.ravel()
+        return pd.DataFrame({
+            "id_a": ids[rows], "id_b": ids[cols],
+            "cosine": S[rows, cols],
+            "rn": np.tile(np.arange(1, kk + 1, dtype="int32"), n),
+        })
+
+    return (
+        embeddings.select(label_col, id_col, vec_col)
+        .groupBy(label_col)
+        .applyInPandas(topk, schema="id_a bigint, id_b bigint,"
+                                    " cosine double, rn int")
+    )
+
+
 def fixed_centroids(k: int = 8, dim: int = 64, scale: float = 0.25) -> list[list[float]]:
     """Deterministic md5-derived coarse-quantizer centroids (no training).
 

@@ -879,11 +879,45 @@ SELECT DISTINCT url AS subj,
 FROM linked
 """
     )
+    linked_canonical = (
+        kg_prefix() + ",\n" + _pages_ctes().strip() + ",\n"
+        + _SCORED_CTE.strip() + """,
+linked AS (
+  SELECT url, surface, CAST(begin AS INT) AS begin,
+         CAST(e_end AS INT) AS "end",
+         geonameid + 5000000 AS geonameid, round(s, 6) AS score
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY url, begin, surface
+                                     ORDER BY s DESC, geonameid ASC) AS rn
+        FROM scored)
+  WHERE rn = 1
+),
+fbn_dup AS (
+  SELECT geonameid, bestName, country_code, latitude, longitude FROM fbn
+  UNION ALL
+  SELECT geonameid + 5000000, bestName, country_code, latitude, longitude
+  FROM fbn
+),
+cmap AS (
+  SELECT geonameid, canonical FROM (
+    SELECT geonameid,
+           MIN(geonameid) OVER (PARTITION BY bestName, country_code,
+                                latitude, longitude) AS canonical,
+           COUNT(*) OVER (PARTITION BY bestName, country_code,
+                          latitude, longitude) AS n
+    FROM fbn_dup
+  ) WHERE n > 1
+)
+SELECT l.url, l.surface, l.begin, l."end",
+       COALESCE(m.canonical, l.geonameid) AS geonameid, l.score
+FROM linked l LEFT JOIN cmap m ON l.geonameid = m.geonameid
+"""
+    )
     return {
         "pipeline_mentions": mentions,
         "pipeline_linked": linked,
         "pipeline_kg_triples": triples,
         "pipeline_canonical_map": _canonical_map_sql(),
+        "pipeline_linked_canonical": linked_canonical,
     }
 
 

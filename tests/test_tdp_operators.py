@@ -387,3 +387,13 @@ def test_lang_stopword_ratio_scores_own_language(spark):
     assert out[1]["marker_hits"] > 0          # German text, German markers
     assert out[2]["marker_hits"] == 0         # same text scored as English
     assert out[3]["marker_hits"] == 0 and out[3]["stopword_ratio"] == 0.0
+
+
+def test_knn_blas_backend_equivalence(emb):
+    """The BLAS applyInPandas backend must produce EXACTLY the Column
+    version's output (same rounding, same tie order)."""
+    a = {(r["id_a"], r["rn"]): (r["id_b"], r["cosine"])
+         for r in similarity.pairwise_topk_per_label(emb, k=3).collect()}
+    b = {(r["id_a"], r["rn"]): (r["id_b"], r["cosine"])
+         for r in similarity.pairwise_topk_per_label_blas(emb, k=3).collect()}
+    assert a == b
