@@ -43,9 +43,11 @@ def sample_stratified(df: DataFrame, rates: dict[str, float],
     """Keep each row with its stratum's probability (hash-deterministic).
 
     ``rates``: stratum value -> keep rate in [0,1]; unlisted strata use
-    ``default_rate``.  One narrow filter — no shuffle, no RNG state; at
-    cluster scale this composes with predicate pushdown (the md5 can't
-    push into parquet, but the stratum filter portion can)."""
+    ``default_rate``.  One narrow filter — no shuffle, no RNG state.
+    Rate-0 strata are additionally dropped by an explicit equality
+    predicate, which IS parquet-pushable (the md5 expression itself is
+    not)."""
+    zero = sorted(k for k, r in rates.items() if r == 0.0)
     for k, r in rates.items():
         if not 0.0 <= r <= 1.0:
             raise ValueError(f"rate for {k!r} must be in [0,1], got {r}")
@@ -53,7 +55,11 @@ def sample_stratified(df: DataFrame, rates: dict[str, float],
     for k in sorted(rates):
         rate = F.when(F.col(stratum_col) == k,
                       F.lit(float(rates[k]))).otherwise(rate)
-    return df.filter(uniform_hash(F.col(id_col), salt) < rate)
+    out = df
+    if zero:
+        out = out.filter(~F.col(stratum_col).isin(*zero)
+                         | F.col(stratum_col).isNull())
+    return out.filter(uniform_hash(F.col(id_col), salt) < rate)
 
 
 # demo stratification used by the driver query + its DuckDB twin (pinned

@@ -33,6 +33,10 @@ def main() -> None:
     ap.add_argument("--buckets", type=int, default=32)
     ap.add_argument("--resume", action="store_true",
                     help="skip buckets already marked done in the lineage table")
+    ap.add_argument("--canonicalize", action="store_true",
+                    help="S5: rewrite linked entities through the sameAs"
+                         " connected-components canonical map before"
+                         " materializing triples")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -68,9 +72,23 @@ def main() -> None:
         # sandbox fallback: deterministic synthesis (no external data)
         pages = corpus.synthesize_pages(spark, surfaces, args.pages)
 
+    mapping = None
+    if args.canonicalize:
+        from geonames_rdf_spark.pipeline import canonicalize
+
+        # dimension-sized: derived once, cached, broadcast into every
+        # bucket's rewrite (an empty map — no duplicate entities — is a
+        # no-op rewrite)
+        mapping = canonicalize.canonical_map(
+            canonicalize.sameas_edges(feats)).cache()
+
     def triples_for(subset):
         linked = mentions.detect_and_link(subset, smap, from_html=True,
                                           bundle_bc=bundle_bc)
+        if mapping is not None:
+            from geonames_rdf_spark.pipeline import canonicalize
+
+            linked = canonicalize.rewrite_links(linked, mapping)
         return materialize.mention_triples(linked)
 
     lineage.run_with_lineage(spark, pages, triples_for, args.out,

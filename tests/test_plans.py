@@ -107,3 +107,18 @@ def test_ivf_stored_index_partition_pruning(spark, tmp_path):
         [r.asDict() for r in inline.collect()]
     with pytest.raises(Exception):
         full_before.count()
+
+
+def test_stratified_sampler_pushes_zero_rate_strata(spark):
+    """Rate-0 strata become an explicit NOT-IN predicate that reaches the
+    parquet scan (the md5 threshold itself cannot push) — at corpus scale
+    a zeroed-out boilerplate source is skipped at the IO layer."""
+    from geonames_rdf_spark.operators import sampling
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = sampling.sample_stratified(
+        docs, {"src0": 0.0, "src1": 0.5}, default_rate=1.0)
+    plan = plan_of(out)
+    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    assert "source" in pushed
+    assert out.filter("source = 'src0'").count() == 0
