@@ -299,7 +299,17 @@ def simhash_candidate_values(values: DataFrame, max_hamming: int = 3,
     if not 0 <= max_hamming < 64:
         raise ValueError(f"max_hamming must be in [0, 64), got {max_hamming}")
     if n_blocks is None:
-        n_blocks = max_hamming + 3 if max_hamming else 1
+        if max_hamming:
+            # widest key whose combo count stays sane; falls back toward
+            # h+1 (the pigeonhole minimum, h+1 single-chunk keys) for
+            # large radii where C(h+3, 3) would explode
+            import math
+
+            n_blocks = next(
+                m for m in range(max_hamming + 3, max_hamming, -1)
+                if math.comb(m, m - max_hamming) <= 512)
+        else:
+            n_blocks = 1
     if max_hamming and n_blocks <= max_hamming:
         raise ValueError(
             f"n_blocks ({n_blocks}) must exceed max_hamming ({max_hamming})"
@@ -308,6 +318,14 @@ def simhash_candidate_values(values: DataFrame, max_hamming: int = 3,
     chunks = _simhash_chunk_exprs(F.col(sim_col), n_blocks)
     combos = list(itertools.combinations(range(n_blocks),
                                          n_blocks - max_hamming))
+    if len(combos) > 512:
+        # C(n_blocks, n_blocks-h) explodes fast (e.g. 6-of-64 blocks =
+        # 41k keys per value); a wide request is a parameter mistake, not
+        # a plan we should silently execute
+        raise ValueError(
+            f"simhash blocking would emit {len(combos)} keys per value"
+            f" (n_blocks={n_blocks}, max_hamming={max_hamming});"
+            " reduce n_blocks")
     keys = values.select(
         F.col(sim_col),
         F.posexplode(F.array(*[

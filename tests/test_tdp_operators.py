@@ -397,3 +397,12 @@ def test_knn_blas_backend_equivalence(emb):
     b = {(r["id_a"], r["rn"]): (r["id_b"], r["cosine"])
          for r in similarity.pairwise_topk_per_label_blas(emb, k=3).collect()}
     assert a == b
+
+
+def test_simhash_block_defaults_and_combo_cap(spark):
+    """Default n_blocks stays sane at any radius; an explicit explosive
+    configuration raises instead of silently emitting thousands of keys."""
+    vals = spark.createDataFrame([(i,) for i in range(10)], "simhash bigint")
+    dedup.simhash_candidate_values(vals, max_hamming=15).count()  # no raise
+    with pytest.raises(ValueError, match="keys per value"):
+        dedup.simhash_candidate_values(vals, max_hamming=3, n_blocks=30)
