@@ -198,6 +198,35 @@ def run_stream_linked(
     )
 
 
+def run_stream_linked_canonical(
+    spark: SparkSession,
+    pages_dir: str,
+    scored_map: dict[str, list[tuple[int, float, str]]],
+    mapping,
+    query_name: str = "stream_linked_canonical",
+):
+    """Fused streaming linking + S5 canonical rewrite as a STREAM-STATIC
+    join: the canonical map is a dimension (broadcast static side), so
+    the rewrite composes with the append-mode stateless stream — no
+    watermark, no stream-stream state.  This is how a continuously-
+    crawling deployment keeps emitted entity ids canonical without
+    re-running batch canonicalization per micro-batch; the batch twin is
+    oracle-checked (pipeline_linked_canonical)."""
+    from geonames_rdf_spark.pipeline import canonicalize
+    from geonames_rdf_spark.pipeline import mentions as m
+
+    pages = spark.readStream.schema(
+        "url string, warc_ts timestamp, html binary, text string, lang string"
+    ).parquet(pages_dir)
+    linked = m.detect_and_link(pages, scored_map, from_html=True)
+    linked = canonicalize.rewrite_links(linked, mapping)
+    return (
+        linked.writeStream.outputMode("append")
+        .format("memory").queryName(query_name)
+        .start()
+    )
+
+
 def run_stream_stateful_counts(
     spark: SparkSession,
     source_dir: str,

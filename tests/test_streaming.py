@@ -138,3 +138,59 @@ def test_stream_linked_fused(spark, tmp_path):
         assert streamed.exceptAll(batch).count() == 0
     finally:
         q.stop()
+
+
+def test_stream_linked_canonical_rewrite(spark, tmp_path):
+    """Stream-static canonical rewrite: streamed links come out already
+    canonicalized, equal to the batch rewrite."""
+    from geonames_rdf_spark.operators import build
+    from geonames_rdf_spark.pipeline import canonicalize, corpus, mentions
+
+    tables = build.gazetteer_tables(spark, SF)
+    feats = tables["features"]
+    surfaces = corpus.gazetteer_surfaces(feats)
+    pages = corpus.synthesize_pages(spark, surfaces, 100)
+    src = str(tmp_path / "pages_src3")
+    pages.write.parquet(src)
+    smap_scored = mentions.build_scored_surface_map(feats)
+    # duplicate world (+5M ids) so the map is non-trivial; shift the
+    # scored candidates the same way so the rewrite has work to do
+    shifted_map = {k: [(cid + 5000000, pr, cc) for cid, pr, cc in v]
+                   for k, v in smap_scored.items()}
+    dup = feats.withColumn("geonameid", F.col("geonameid") + 5000000)
+    mapping = canonicalize.canonical_map(
+        canonicalize.sameas_edges(feats.unionByName(dup)))
+
+    q = ev.run_stream_linked_canonical(
+        spark, src, shifted_map, mapping, query_name="tm_linked_canon")
+    try:
+        q.processAllAvailable()
+        streamed = spark.sql("SELECT * FROM tm_linked_canon")
+        batch = canonicalize.rewrite_links(
+            mentions.detect_and_link(spark.read.parquet(src), shifted_map,
+                                     from_html=True),
+            mapping)
+        assert streamed.count() == batch.count() > 0
+        assert streamed.exceptAll(batch).count() == 0
+        # the rewrite actually fired: every emitted id is back under 5M
+        assert streamed.filter("geonameid >= 5000000").count() == 0
+    finally:
+        q.stop()
+
+
+def test_queries_pin_utc_under_non_utc_session(spark):
+    """The driver may hand us a session in any timezone; the queries()
+    wrapper must pin UTC so timestamp bucketing matches DuckDB (which is
+    tz-naive over the same parquet) regardless of the caller's default."""
+    import __spark_entry__ as em
+
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        out = em.queries()["events_windowed_stats"](spark, SF).collect()
+        # the wrapper pinned the session back to UTC...
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+        ref = em.queries()["events_windowed_stats"](spark, SF).collect()
+        # ...and the non-UTC-entry run bucketed identically
+        assert sorted(map(tuple, out)) == sorted(map(tuple, ref))
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
