@@ -274,6 +274,18 @@ def _q_sample_stratified(spark, sf_dir):
     ).select("doc_id", "source")
 
 
+def _q_curate_corpus(spark, sf_dir):
+    """Composite curation pipeline over a duplicate-injected corpus:
+    exact-dedup survivors -> quality gate -> stratified downsample, wired
+    as one lazy plan and value-replayed by one SQL twin."""
+    from geonames_rdf_spark.operators import curate, sampling
+
+    return curate.curate_corpus(
+        _docs_with_dups(spark, sf_dir), min_quality=0.4,
+        rates=sampling.DEMO_RATES,
+        default_rate=sampling.DEMO_DEFAULT_RATE)
+
+
 def _docs_with_dups(spark, sf_dir):
     d = _docs(spark, sf_dir)
     dups = d.filter(F.col("doc_id") % 3 == 0).withColumn(
@@ -438,6 +450,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_stopword_ratio": _q_lang_stopword,
         "corpus_composition": _q_corpus_composition,
         "sample_stratified": _q_sample_stratified,
+        "curate_corpus": _q_curate_corpus,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_minhash,
         "dedup_simhash": _q_simhash,

@@ -1,0 +1,44 @@
+"""Composite corpus-curation pipeline: the end-to-end shape a
+training-data run executes before tokenization.
+
+One lazy plan chaining the already-verified primitives:
+
+1. **exact dedup** — keep the min-id survivor per distinct text
+   (``dedup.exact_dedup`` rule, applied as a semi-join);
+2. **quality gate** — drop documents under a score threshold
+   (``textstats.quality_score``, same 6-dp rounding contract);
+3. **stratified downsampling** — per-source keep rates via the
+   hash-deterministic sampler (``sampling.sample_stratified``).
+
+Each stage is individually oracle-checked; the composite has its own
+DuckDB twin (driver query ``curate_corpus``) so stage WIRING is verified
+too, not just the parts.  Shuffle inventory at corpus scale: one
+groupBy(md5) for dedup + the broadcast-sized survivor semi-join — quality
+and sampling are narrow.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from geonames_rdf_spark.operators import sampling, textstats
+from geonames_rdf_spark.operators.dedup import exact_dedup
+
+
+def curate_corpus(docs: DataFrame, min_quality: float = 0.4,
+                  rates: dict[str, float] | None = None,
+                  default_rate: float = 1.0,
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, source, lang, quality) for the curated subset."""
+    survivors = (exact_dedup(docs, text_col, id_col)
+                 .select(F.col("keep_id").alias(id_col)))
+    d = docs.join(survivors, id_col, "left_semi")
+    q = textstats.quality_score(d, text_col)
+    d = (d.join(q, id_col)
+         .filter(F.col("quality") >= min_quality))
+    if rates:
+        d = sampling.sample_stratified(d, rates, id_col=id_col,
+                                       default_rate=default_rate)
+    return d.select(id_col, "source", "lang", "quality")

@@ -643,14 +643,15 @@ SELECT id_a, id_b, cosine, CAST(rn AS INT) AS rn FROM (
     ON a.label = b.label AND a.vec_id <> b.vec_id
 ) WHERE rn <= 3
 """
-    quality_score = f"""
-SELECT doc_id,
-  round(
+    quality_expr = f"""round(
     least({tok} / 50.0, 1.0) * 0.4
     + (1 - least(round(({strip_punct}) / greatest(length(text), 1), 4) * 5, 1.0)) * 0.2
     + (1 - least(round(({strip_digit}) / greatest(length(text), 1), 4) * 5, 1.0)) * 0.2
     + least(round(({stop_hits}) / greatest({tok}, 1), 4) * 10, 1.0) * 0.2,
-  6) AS quality
+  6)"""
+    quality_score = f"""
+SELECT doc_id,
+  {quality_expr} AS quality
 FROM documents
 """
     lang_hits = {
@@ -678,21 +679,45 @@ FROM b JOIN q USING (doc_id)
 GROUP BY b.source, b.lang
 """
 
-    def _sample_stratified_sql() -> str:
+    def _rate_case(col: str) -> str:
         from geonames_rdf_spark.operators import sampling
 
-        case = ("CASE source " + " ".join(
+        return ("CASE " + col + " " + " ".join(
             f"WHEN '{k}' THEN {sampling.DEMO_RATES[k]!r}"
             for k in sorted(sampling.DEMO_RATES))
             + f" ELSE {sampling.DEMO_DEFAULT_RATE!r} END")
+
+    def _sample_stratified_sql() -> str:
+        from geonames_rdf_spark.operators import sampling
+
         return (f"SELECT doc_id, source FROM documents"
-                f" WHERE {sampling.uniform_hash_sql('doc_id')} < {case}")
+                f" WHERE {sampling.uniform_hash_sql('doc_id')}"
+                f" < {_rate_case('source')}")
+
+    def _curate_sql() -> str:
+        from geonames_rdf_spark.operators import sampling
+
+        return f"""
+WITH all_docs AS (
+  SELECT doc_id, text, source, lang FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text, source, lang
+  FROM documents WHERE doc_id % 3 = 0
+),
+keep AS (SELECT MIN(doc_id) AS doc_id FROM all_docs GROUP BY md5(text)),
+q AS (SELECT doc_id, {quality_expr} AS quality FROM all_docs)
+SELECT d.doc_id, d.source, d.lang, q.quality
+FROM all_docs d JOIN keep USING (doc_id) JOIN q USING (doc_id)
+WHERE q.quality >= 0.4
+  AND {sampling.uniform_hash_sql('d.doc_id')} < {_rate_case('d.source')}
+"""
 
     return {
         **neardup_sql(),
         "text_lang_stopword_ratio": lang_stopword,
         "corpus_composition": corpus_composition,
         "sample_stratified": _sample_stratified_sql(),
+        "curate_corpus": _curate_sql(),
         "text_quality_score": quality_score,
         "text_token_count": (
             f"SELECT doc_id, {tok} AS n_tokens FROM documents"

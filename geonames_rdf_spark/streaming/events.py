@@ -227,6 +227,63 @@ def run_stream_linked_canonical(
     )
 
 
+def run_stream_kg(
+    spark: SparkSession,
+    pages_dir: str,
+    scored_map: dict[str, list[tuple[int, float, str]]],
+    out_dir: str,
+    n_buckets: int = 8,
+):
+    """CONTINUOUS KG maintenance: micro-batched crawl pages -> fused
+    linking -> mention triples appended to a bucket-partitioned store
+    via ``foreachBatch``.
+
+    Exactly-once without a transactional sink: each epoch writes under
+    its own ``epoch=<id>`` partition with dynamic partition OVERWRITE, so
+    a replayed micro-batch (post-crash recovery from the stream
+    checkpoint) overwrites its own partition instead of double-appending
+    — the same idempotence trick the batch lineage layer uses per url
+    bucket.  Triple dedup runs per epoch (batch semantics inside
+    foreachBatch); cross-epoch duplicates are possible by design and
+    collapse at read/compaction (``read_stream_kg``).
+    """
+    from pyspark.sql import functions as SF
+
+    from geonames_rdf_spark.pipeline import materialize
+    from geonames_rdf_spark.pipeline import mentions as m
+
+    pages = spark.readStream.schema(
+        "url string, warc_ts timestamp, html binary, text string, lang string"
+    ).parquet(pages_dir)
+    linked = m.detect_and_link(pages, scored_map, from_html=True)
+
+    def write_batch(df, epoch_id: int) -> None:
+        df.sparkSession.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic")
+        t = materialize.mention_triples(df)
+        (t.withColumn("bucket",
+                      SF.pmod(SF.xxhash64("subj"), SF.lit(n_buckets)))
+          .withColumn("epoch", SF.lit(int(epoch_id)))
+          .write.mode("overwrite").partitionBy("epoch", "bucket")
+          .parquet(f"{out_dir}/triples"))
+
+    return (
+        linked.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", f"{out_dir}/_checkpoint")
+        .start()
+    )
+
+
+def read_stream_kg(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Read the streamed triple store, collapsing cross-epoch duplicates
+    (the compaction a serving layer runs)."""
+    return (
+        spark.read.parquet(f"{out_dir}/triples")
+        .drop("epoch", "bucket")
+        .dropDuplicates()
+    )
+
+
 def run_stream_stateful_counts(
     spark: SparkSession,
     source_dir: str,

@@ -37,6 +37,11 @@ def main() -> None:
                     help="S5: rewrite linked entities through the sameAs"
                          " connected-components canonical map before"
                          " materializing triples")
+    ap.add_argument("--format", choices=("ntriples", "turtle"),
+                    default="ntriples",
+                    help="final serialization: splittable N-Triples"
+                         " (default) or the reference's Turtle form"
+                         " (each part file a valid document, concat-safe)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -97,7 +102,12 @@ def main() -> None:
     kg = build.build_kg(spark, args.sf_dir, tables=tables)
     mention_triples = lineage.read_triples(spark, args.out)
     all_triples = kg.unionByName(mention_triples)
-    materialize.write_ntriples(all_triples, f"{args.out}/ntriples")
+    if args.format == "turtle":
+        from geonames_rdf_spark.pipeline import turtle
+
+        turtle.write_turtle(all_triples, f"{args.out}/turtle")
+    else:
+        materialize.write_ntriples(all_triples, f"{args.out}/ntriples")
 
     print(json.dumps({
         "feature_triples": kg.count(),

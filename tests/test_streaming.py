@@ -194,3 +194,34 @@ def test_queries_pin_utc_under_non_utc_session(spark):
         assert sorted(map(tuple, out)) == sorted(map(tuple, ref))
     finally:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def test_stream_kg_continuous_build(spark, tmp_path):
+    """foreachBatch KG maintenance: streamed pages land as bucketed,
+    epoch-partitioned mention triples; the compacted read equals the
+    batch pipeline's triple set."""
+    from geonames_rdf_spark.operators import build
+    from geonames_rdf_spark.pipeline import corpus, materialize, mentions
+
+    tables = build.gazetteer_tables(spark, SF)
+    feats = tables["features"]
+    surfaces = corpus.gazetteer_surfaces(feats)
+    pages = corpus.synthesize_pages(spark, surfaces, 100)
+    src = str(tmp_path / "pages_src_kg")
+    # two files => at least one micro-batch boundary exercised
+    pages.repartition(2).write.parquet(src)
+    smap_scored = mentions.build_scored_surface_map(feats)
+    out = str(tmp_path / "stream_kg_out")
+
+    q = ev.run_stream_kg(spark, src, smap_scored, out, n_buckets=4)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = ev.read_stream_kg(spark, out)
+    batch = materialize.mention_triples(
+        mentions.detect_and_link(spark.read.parquet(src), smap_scored,
+                                 from_html=True))
+    assert streamed.count() == batch.count() > 0
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0

@@ -406,3 +406,21 @@ def test_simhash_block_defaults_and_combo_cap(spark):
     dedup.simhash_candidate_values(vals, max_hamming=15).count()  # no raise
     with pytest.raises(ValueError, match="keys per value"):
         dedup.simhash_candidate_values(vals, max_hamming=3, n_blocks=30)
+
+
+def test_curate_corpus_composite(docs):
+    from geonames_rdf_spark.operators import curate
+
+    dups = docs.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 10000)
+    out = curate.curate_corpus(docs.unionByName(dups), min_quality=0.4)
+    rows = out.collect()
+    assert rows and all(r["quality"] >= 0.4 for r in rows)
+    # dedup stage kept only original-id survivors
+    assert all(r["doc_id"] < 10000 for r in rows)
+    # rate-0 stratum drops out entirely when sampling is on
+    from geonames_rdf_spark.operators import sampling
+    sampled = curate.curate_corpus(
+        docs, min_quality=0.0, rates=sampling.DEMO_RATES,
+        default_rate=sampling.DEMO_DEFAULT_RATE)
+    assert sampled.filter("source = 'src2'").count() == 0

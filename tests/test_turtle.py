@@ -117,3 +117,20 @@ def test_turtle_write_parts_are_valid_and_concatenable(spark, tmp_path):
     assert all_text.count("gn:name") == 20
     for i in range(20):
         assert f"<{vocab.SWS}{i}/> gn:name \"n{i}\" ." in all_text
+
+
+def test_turtle_roundtrip_full_kg(spark, tmp_path):
+    """The REAL KG — full ontology block included: multiline rdfs
+    comments, blank nodes, 5 label languages, typed literals — survives
+    Turtle write -> read as an exact multiset."""
+    from geonames_rdf_spark.operators import build
+    from tests.conftest import SF
+
+    kg = build.build_kg(spark, SF)
+    out = str(tmp_path / "kg_ttl")
+    turtle.write_turtle(kg, out)
+    back = turtle.read_turtle(spark, out)
+    assert back.count() == kg.count()
+    a = kg.select("subj", "pred", "obj", "obj_is_iri", "obj_lang", "obj_dt")
+    assert a.exceptAll(back).count() == 0
+    assert back.exceptAll(a).count() == 0
