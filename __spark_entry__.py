@@ -259,6 +259,14 @@ def _q_lang_stopword(spark, sf_dir):
     return textstats.lang_stopword_ratio(_docs(spark, sf_dir))
 
 
+def _q_oov_rate(spark, sf_dir):
+    from geonames_rdf_spark.operators import textstats
+
+    # top_k=10 < the synthetic corpus's 31 distinct tokens, so the OOV
+    # branch is genuinely exercised (not all-in-vocab)
+    return textstats.oov_rate(_docs(spark, sf_dir), top_k=10)
+
+
 def _q_corpus_composition(spark, sf_dir):
     from geonames_rdf_spark.operators import textstats
 
@@ -448,6 +456,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_token_count": _q_bpe_tokens,
         "text_rolling_fingerprint": _q_rolling_fp,
         "text_lang_stopword_ratio": _q_lang_stopword,
+        "text_oov_rate": _q_oov_rate,
         "corpus_composition": _q_corpus_composition,
         "sample_stratified": _q_sample_stratified,
         "curate_corpus": _q_curate_corpus,

@@ -32,6 +32,11 @@ def curate_corpus(docs: DataFrame, min_quality: float = 0.4,
                   text_col: str = "text",
                   id_col: str = "doc_id") -> DataFrame:
     """(doc_id, source, lang, quality) for the curated subset."""
+    if id_col != "doc_id":
+        # textstats.quality_score keys its output on doc_id; renaming
+        # support would silently join wrong columns, so refuse instead
+        raise ValueError("curate_corpus requires id_col='doc_id'"
+                         " (quality_score contract)")
     survivors = (exact_dedup(docs, text_col, id_col)
                  .select(F.col("keep_id").alias(id_col)))
     d = docs.join(survivors, id_col, "left_semi")

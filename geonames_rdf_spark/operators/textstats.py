@@ -165,6 +165,51 @@ def corpus_composition(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def oov_rate(docs: DataFrame, top_k: int = 500,
+             text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Out-of-vocabulary rate against the corpus's OWN top-``top_k``
+    unigram vocabulary — the cheap LM-free fluency signal (gibberish and
+    boilerplate-free natural text separate cleanly on OOV mass).
+
+    Two passes, both scale-shaped: (1) global unigram counts (map-side
+    combinable groupBy) -> top-K via TakeOrdered with DETERMINISTIC ties
+    (count desc, token asc — so the vocabulary, and therefore every
+    score, is reproducible and oracle-replayable); (2) token stream
+    broadcast-joined against the K-row vocabulary, per-doc aggregate.
+    Returns (doc_id, n_tokens, n_oov, oov_rate); empty/NULL docs score
+    (0, 0, 0.0)."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))),
+                          r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    vocab = (
+        toks.groupBy("tok").agg(F.count(F.lit(1)).alias("_n"))
+        .orderBy(F.desc("_n"), F.asc("tok"))
+        .limit(top_k)
+        .select("tok", F.lit(1).alias("_in"))
+    )
+    per_doc = (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count_if(F.col("_in").isNull()).alias("n_oov"),
+        )
+    )
+    return (
+        docs.select(id_col).join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("n_oov", F.lit(0)).alias("n_oov"),
+            F.round(F.coalesce(F.col("n_oov"), F.lit(0))
+                    / F.greatest(F.coalesce(F.col("n_tokens"), F.lit(0)),
+                                 F.lit(1)), 4).alias("oov_rate"),
+        )
+    )
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Canonical-form document fingerprint: md5 of the lower-cased,
     whitespace-collapsed text (stable across cosmetic edits)."""

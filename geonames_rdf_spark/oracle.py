@@ -718,6 +718,33 @@ WHERE q.quality >= 0.4
         "corpus_composition": corpus_composition,
         "sample_stratified": _sample_stratified_sql(),
         "curate_corpus": _curate_sql(),
+        "text_oov_rate": f"""
+WITH toks AS (
+  SELECT doc_id, t.tok FROM documents,
+    LATERAL unnest(list_filter(
+      string_split_regex(trim(COALESCE(text, '')), '\\s+'),
+      x -> x <> '')) AS t(tok)
+),
+vocab AS (
+  SELECT tok FROM (
+    SELECT tok, COUNT(*) AS n,
+           ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok ASC) AS rn
+    FROM toks GROUP BY tok
+  ) WHERE rn <= 10
+),
+per_doc AS (
+  SELECT t.doc_id, COUNT(*) AS n_tokens,
+         SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS n_oov
+  FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(p.n_oov, 0) AS BIGINT) AS n_oov,
+       round(COALESCE(p.n_oov, 0) / greatest(COALESCE(p.n_tokens, 0), 1), 4)
+         AS oov_rate
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+""",
         "text_quality_score": quality_score,
         "text_token_count": (
             f"SELECT doc_id, {tok} AS n_tokens FROM documents"

@@ -424,3 +424,17 @@ def test_curate_corpus_composite(docs):
         docs, min_quality=0.0, rates=sampling.DEMO_RATES,
         default_rate=sampling.DEMO_DEFAULT_RATE)
     assert sampled.filter("source = 'src2'").count() == 0
+
+
+def test_oov_rate_semantics(spark):
+    d = spark.createDataFrame(
+        [(1, "a a a b"), (2, "a b z"), (3, ""), (4, None)],
+        "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in textstats.oov_rate(d, top_k=2).collect()}
+    # vocab = top-2 = {a, b}; 'z' is OOV
+    assert out[1]["n_oov"] == 0 and out[1]["oov_rate"] == 0.0
+    assert out[2]["n_tokens"] == 3 and out[2]["n_oov"] == 1
+    assert out[2]["oov_rate"] == 0.3333
+    # empty/NULL docs present with zeros (not dropped)
+    assert out[3]["n_tokens"] == 0 and out[3]["oov_rate"] == 0.0
+    assert out[4]["n_tokens"] == 0 and out[4]["oov_rate"] == 0.0
