@@ -210,3 +210,29 @@ def test_pipeline_stages_mapping_protocol(spark):
             raise AssertionError("should have raised")
         except ValueError as e:
             assert "root cause" in str(e)
+
+
+def test_rewrite_triples_subj_obj_and_collapse(spark):
+    """Canonical rewrite over the TRIPLE table: subject URIs and IRI
+    objects map through the canonical id; literals are untouched even
+    when their lexical form matches a mapped uri's id; rows that become
+    identical after rewriting collapse to one."""
+    from geonames_rdf_spark import vocab
+
+    mapping = spark.createDataFrame([(9, 1)], ["geonameid", "canonical"])
+    u = lambda i: f"{vocab.SWS}{i}/"  # noqa: E731
+    rows = [
+        (u(9), vocab.GN_PARENT_FEATURE, u(1), True, None, None),
+        (u(1), vocab.GN_PARENT_FEATURE, u(1), True, None, None),  # dup post-rewrite
+        (u(2), vocab.GN_NAME, "9", False, None, None),            # literal stays
+        (u(2), vocab.RDFS_SEE_ALSO, u(9), True, None, None),      # obj rewritten
+    ]
+    t = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, obj_is_iri boolean,"
+              " obj_lang string, obj_dt string")
+    out = canonicalize.rewrite_triples(t, mapping).collect()
+    got = [(r["subj"], r["pred"], r["obj"]) for r in out]
+    assert got.count((u(1), vocab.GN_PARENT_FEATURE, u(1))) == 1  # collapsed
+    assert (u(2), vocab.GN_NAME, "9") in got                      # literal kept
+    assert (u(2), vocab.RDFS_SEE_ALSO, u(1)) in got               # obj mapped
+    assert len(got) == 3
