@@ -247,8 +247,6 @@ def run_stream_kg(
     foreachBatch); cross-epoch duplicates are possible by design and
     collapse at read/compaction (``read_stream_kg``).
     """
-    from pyspark.sql import functions as SF
-
     from geonames_rdf_spark.pipeline import materialize
     from geonames_rdf_spark.pipeline import mentions as m
 
@@ -262,8 +260,8 @@ def run_stream_kg(
             "spark.sql.sources.partitionOverwriteMode", "dynamic")
         t = materialize.mention_triples(df)
         (t.withColumn("bucket",
-                      SF.pmod(SF.xxhash64("subj"), SF.lit(n_buckets)))
-          .withColumn("epoch", SF.lit(int(epoch_id)))
+                      F.pmod(F.xxhash64("subj"), F.lit(n_buckets)))
+          .withColumn("epoch", F.lit(int(epoch_id)))
           .write.mode("overwrite").partitionBy("epoch", "bucket")
           .parquet(f"{out_dir}/triples"))
 
