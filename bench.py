@@ -37,7 +37,10 @@ N_PAGES = int(os.environ.get("BENCH_PAGES", "20000"))
 def main() -> None:
     spark = get_spark(app_name="bench")
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
-    reps = int(os.environ.get("BENCH_REPS", "2"))
+    # 3 interleaved passes: this host's external load bursts last longer
+    # than one pass, so two passes can BOTH land inside a burst; a third
+    # pass makes the per-query minimum robust at ~30 s extra suite time
+    reps = int(os.environ.get("BENCH_REPS", "3"))
 
     # warm the JVM + parquet footers once (not counted)
     spark.read.parquet(f"{SF_DIR}/customer.parquet").count()
