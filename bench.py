@@ -35,6 +35,9 @@ N_PAGES = int(os.environ.get("BENCH_PAGES", "20000"))
 
 
 def main() -> None:
+    import shutil
+    import tempfile
+
     spark = get_spark(app_name="bench")
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
     # 3 interleaved passes: this host's external load bursts last longer
@@ -45,18 +48,39 @@ def main() -> None:
     # warm the JVM + parquet footers once (not counted)
     spark.read.parquet(f"{SF_DIR}/customer.parquet").count()
 
-    # shared inputs built once, OUTSIDE the measured region: the cached KG
-    # models a warehouse-resident table the workload queries scan
-    kg = build.build_kg(spark, SF_DIR).cache()
-    kg.count()
+    # shared KG input, built once OUTSIDE the measured region, materialized
+    # to PARQUET (a warehouse-resident table the workload queries scan).
+    # NOT .cache(): a cached plan structurally matches the kg_full_build
+    # entry's identical plan, and the CacheManager would silently
+    # substitute InMemoryTableScan — the build timing would measure a
+    # cache scan (caught in round-3 review).
+    kg_dir = tempfile.mkdtemp(prefix="bench_kg_")
+    build.build_kg(spark, SF_DIR).write.mode("overwrite").parquet(kg_dir)
+    kg = spark.read.parquet(kg_dir)
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+    # guard: the measured build must be a real build, not a cache scan of
+    # the OUTPUT.  Cache substitution of the whole plan puts
+    # InMemoryRelation at the optimized-plan ROOT; the features DIMENSION
+    # cache inside gazetteer_tables (deep in the tree, warehouse steady
+    # state — the melt, which is all the work at scale, runs fresh every
+    # pass) is accepted.
+    opt_root = (build.build_kg(spark, SF_DIR)._jdf.queryExecution()
+                .optimizedPlan().toString().strip().splitlines()[0])
+    assert "InMemoryRelation" not in opt_root, (
+        f"kg_full_build output is cache-substituted ({opt_root}) — the"
+        " timing would measure a cache scan, not the build")
 
     def pipeline_run():
         r = materialize.run_pipeline(spark, SF_DIR, n_pages=N_PAGES,
                                      include_feature_triples=False)
         return r["triples"].count()
 
+    # web_pipeline appears TWICE per pass (flagship number, and the one
+    # that regressed under host noise in the round-3 driver window):
+    # 2 x reps samples at different suite offsets make the minimum robust
+    # to load bursts longer than a single query.
     suite: list[tuple[str, "callable"]] = [
         ("kg_full_build", lambda: build.build_kg(spark, SF_DIR).count()),
         ("web_pipeline", pipeline_run),
@@ -71,6 +95,7 @@ def main() -> None:
          lambda: dedup.minhash_near_dups(docs, threshold=0.5).count()),
         ("ann_knn_per_label",
          lambda: similarity.pairwise_topk_per_label_blas(emb, k=3).count()),
+        ("web_pipeline", pipeline_run),
     ]
 
     timings: dict[str, float] = {}
@@ -83,7 +108,7 @@ def main() -> None:
             if name not in timings or dt < timings[name]:
                 timings[name] = dt
     timings = {k: round(v, 3) for k, v in timings.items()}
-    kg.unpersist()
+    shutil.rmtree(kg_dir, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
     out = {

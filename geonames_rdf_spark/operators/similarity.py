@@ -152,15 +152,46 @@ def pairwise_topk_per_label(embeddings: DataFrame, k: int = 3,
 def pairwise_topk_per_label_blas(embeddings: DataFrame, k: int = 3,
                                  vec_col: str = "embedding",
                                  id_col: str = "vec_id",
-                                 label_col: str = "label") -> DataFrame:
+                                 label_col: str = "label",
+                                 max_group_rows: int | None = 200_000,
+                                 chunk_rows: int | None = None) -> DataFrame:
     """BLAS backend for ``pairwise_topk_per_label``: one Arrow batch per
-    label group, cosine as a single numpy matmul (X̂ X̂ᵀ), argpartition
-    top-k — the O(n²d) inner product runs in optimized BLAS instead of
-    per-pair Column folds.  Same output contract (cosine rounded to 6 dp,
-    ties broken by ascending id); equivalence to the Column version is
-    pytest-pinned.  Scale shape: one task per label group (the blocking
-    key bounds group size — for unbounded groups go IVF)."""
+    label group, cosine as a numpy matmul (X̂ X̂ᵀ), top-k per row — the
+    O(n²d) inner product runs in optimized BLAS instead of per-pair
+    Column folds.  Same output contract (cosine rounded to 6 dp, ties
+    broken by ascending id); equivalence to the Column version is
+    pytest-pinned.
+
+    Scale guards (one task materializes the whole label group in one
+    Python worker):
+
+    - PRE-FLIGHT COUNT: one narrow groupBy-count job; any label above
+      ``max_group_rows`` raises with the offending labels named — exact
+      per-label kNN is O(n²d) and a 10^7-row hot label is a worker OOM
+      plus hours of matmul, which must fail loudly, not silently run
+      (``max_group_rows=None`` skips the job for trusted inputs).
+    - CHUNKED MATMUL: the score matrix is computed in row chunks sized so
+      peak memory is ~chunk×n instead of n×n (an 80 GB matrix for a
+      100k-row group otherwise); chunk degenerates to n for small groups,
+      keeping the single-matmul fast path.
+    """
     import pandas as pd
+
+    if max_group_rows is not None:
+        hot = (
+            embeddings.groupBy(label_col)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_group_rows)
+            .orderBy(F.desc("_n")).limit(5).collect()
+        )
+        if hot:
+            worst = ", ".join(f"{r[label_col]!r}({r['_n']} rows)" for r in hot)
+            raise ValueError(
+                f"pairwise_topk_per_label_blas: label group(s) exceed"
+                f" max_group_rows={max_group_rows}: {worst} — exact"
+                " per-label kNN is quadratic; route hot labels through IVF"
+                " (ann_ivf_topk / write_ivf_index) or raise the cap"
+                " explicitly")
 
     def topk(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
@@ -176,18 +207,27 @@ def pairwise_topk_per_label_blas(embeddings: DataFrame, k: int = 3,
         ids = ids[order]
         X = np.stack(pdf[vec_col].to_numpy()[order]).astype(np.float64)
         Xh = X / np.linalg.norm(X, axis=1, keepdims=True)
-        S = np.round(Xh @ Xh.T, 6)
-        np.fill_diagonal(S, -np.inf)  # exclude self
         kk = min(k, n - 1)
-        # stable mergesort on -S: equal cosines keep ascending-id order
-        idx = np.argsort(-S, axis=1, kind="stable")[:, :kk]
-        rows = np.repeat(np.arange(n), kk)
-        cols = idx.ravel()
-        return pd.DataFrame({
-            "id_a": ids[rows], "id_b": ids[cols],
-            "cosine": S[rows, cols],
-            "rn": np.tile(np.arange(1, kk + 1, dtype="int32"), n),
-        })
+        # row-chunked scoring: chunk*n*8B (matrix) + ~2x for argsort
+        # indices stays ~1.5 GB regardless of n; chunk >= n collapses to
+        # the original single-matmul path
+        chunk = chunk_rows or min(n, max(128, (1 << 26) // n))
+        parts = []
+        for s0 in range(0, n, chunk):
+            S = np.round(Xh[s0:s0 + chunk] @ Xh.T, 6)
+            m = S.shape[0]
+            S[np.arange(m), s0 + np.arange(m)] = -np.inf  # exclude self
+            # stable mergesort on -S: equal cosines keep ascending-id order
+            idx = np.argsort(-S, axis=1, kind="stable")[:, :kk]
+            rows = np.repeat(np.arange(m), kk)
+            cols = idx.ravel()
+            parts.append(pd.DataFrame({
+                "id_a": ids[s0 + rows], "id_b": ids[cols],
+                "cosine": S[rows, cols],
+                "rn": np.tile(np.arange(1, kk + 1, dtype="int32"), m),
+            }))
+        return parts[0] if len(parts) == 1 else pd.concat(
+            parts, ignore_index=True)
 
     return (
         embeddings.select(label_col, id_col, vec_col)

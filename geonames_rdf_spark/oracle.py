@@ -746,21 +746,20 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN per_doc p USING (doc_id)
 """,
         "text_quality_score": quality_score,
-        "text_token_count": (
-            f"SELECT doc_id, {tok} AS n_tokens FROM documents"
+        # whitespace + BPE-ish counts in one row (merged r04 — driver caps
+        # at 50 recorded queries); same BPE pre-tokenizer regex: RE2
+        # (DuckDB) and Java regex (Spark) agree on this lookahead-free subset
+        "text_token_counts": (
+            f"SELECT doc_id, {tok} AS n_tokens,"
+            " CAST(len(regexp_extract_all(COALESCE(text, ''), "
+            "$$'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+$$"
+            ")) AS INT) AS n_bpe_tokens FROM documents"
         ),
         "text_quality_features": quality_features,
         "text_lang_id": lang_id,
         "text_fingerprint": (
             "SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
             " AS fingerprint FROM documents"
-        ),
-        # same BPE-ish pre-tokenizer regex; RE2 (DuckDB) and Java regex
-        # (Spark) agree on this lookahead-free subset
-        "text_bpe_token_count": (
-            "SELECT doc_id, CAST(len(regexp_extract_all(COALESCE(text, ''), "
-            "$$'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+$$"
-            ")) AS INT) AS n_bpe_tokens FROM documents"
         ),
         # min-hash over character 16-gram windows of the normalized text
         "text_rolling_fingerprint": """

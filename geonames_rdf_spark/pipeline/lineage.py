@@ -1,12 +1,22 @@
 """Per-partition lineage + exact resume (stage S7, north_rule).
 
 The corpus is partitioned by ``pmod(xxhash64(url), N)`` buckets.  Each run
-writes triples under ``out/triples/bucket=K/`` (dynamic partition
-overwrite — idempotent per bucket) and appends a lineage row
-(bucket, n_pages, n_mentions, n_triples, status) to ``out/lineage/``.
-Resume = read the lineage table, skip buckets already 'done', process the
-rest; a re-run after a crash converges to the same triple set because
-bucket overwrite is idempotent.
+writes triples under ``out/triples/bucket=K/`` (a per-bucket directory
+OVERWRITE — idempotent per bucket) and a lineage row
+(bucket, n_pages, n_mentions, n_triples, status) under
+``out/lineage/bucket=K/``.  Resume = read the lineage table, skip buckets
+already 'done', process the rest; a re-run after a crash converges to the
+same triple set because the bucket-directory overwrite is idempotent.
+
+Writing each bucket to ITS OWN directory (instead of ``partitionBy`` with
+dynamic-partition overwrite into a shared root) is what makes bucket jobs
+safe to run CONCURRENTLY: Spark's FileOutputCommitter stages work under
+``<root>/_temporary``, shared by every job targeting the same root, and
+one job's commit/cleanup can delete another's in-flight files.  Per-bucket
+roots give every job a private staging dir; the ``bucket=K`` naming keeps
+the layout partition-discoverable so readers still see ``bucket`` as a
+partition column.  It also drops the session-wide
+``partitionOverwriteMode`` mutation the previous revision leaked.
 
 Iceberg would give the same semantics with snapshot isolation
 (``replaceWhere``-style); the jar is not in this container, so the
@@ -36,6 +46,32 @@ def done_buckets(spark: SparkSession, out_dir: str) -> set[int]:
     return {r["bucket"] for r in rows}
 
 
+def _process_bucket(spark: SparkSession, pages_b: DataFrame,
+                    triples_for: "callable", out_dir: str, b: int) -> None:
+    """ONE job per bucket: page/triple counts ride the write itself as
+    observe() metrics instead of a pre-count plus a re-read count.  The
+    lineage row is written AFTER the triple write commits, so a crash
+    between the two replays the bucket (idempotent overwrite) rather than
+    recording a bucket that never landed."""
+    from pyspark.sql import Observation
+
+    obs_pages = Observation(f"lineage_pages_{b}")
+    obs_triples = Observation(f"lineage_triples_{b}")
+    subset = pages_b.filter(F.col("bucket") == b).observe(
+        obs_pages, F.count(F.lit(1)).alias("n"))
+    t = triples_for(subset.drop("bucket"))
+    t = t.observe(obs_triples, F.count(F.lit(1)).alias("n"))
+    t.write.mode("overwrite").parquet(f"{out_dir}/triples/bucket={b}")
+    # bucket rides the DIRECTORY name (partition discovery), not the file
+    # — a data column duplicating the partition column is a read error
+    row = spark.createDataFrame(
+        [(obs_pages.get["n"], None, obs_triples.get["n"], "done")],
+        "n_pages bigint, n_mentions bigint, n_triples bigint, status string",
+    )
+    row.coalesce(1).write.mode("overwrite").parquet(
+        f"{out_dir}/lineage/bucket={b}")
+
+
 def run_with_lineage(
     spark: SparkSession,
     pages: DataFrame,
@@ -43,43 +79,55 @@ def run_with_lineage(
     out_dir: str,
     n_buckets: int = 8,
     fail_after: int | None = None,
+    concurrency: int = 1,
 ) -> None:
     """Process bucket-by-bucket with resume.
 
     ``triples_for(pages_subset) -> DataFrame`` produces the triples of a
     page subset.  ``fail_after`` aborts after that many buckets (test hook
-    simulating a crash mid-run).  Already-done buckets are skipped.
-    """
-    from pyspark.sql import Observation
+    simulating a crash mid-run; sequential mode only — a concurrent crash
+    point is nondeterministic).  Already-done buckets are skipped.
 
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    ``concurrency > 1`` submits up to that many bucket jobs at once from a
+    thread pool: a cluster otherwise idles at every bucket tail (the
+    driver-side loop pays fixed job-scheduling latency × N and the last
+    straggler task of each bucket serializes).  Each thread tags its jobs
+    with a scheduler-pool local property so a session configured with
+    ``spark.scheduler.mode=FAIR`` shares executors fairly; under default
+    FIFO, concurrent jobs still fill each other's idle slots.  Safe
+    because every bucket writes to a PRIVATE directory (no shared
+    ``_temporary`` staging — see module docstring) and lineage rows are
+    per-bucket directories too.
+    """
+    if fail_after is not None and concurrency != 1:
+        raise ValueError("fail_after (crash simulation) requires"
+                         " concurrency=1 — a concurrent crash point is"
+                         " nondeterministic")
     pages_b = pages.withColumn(
         "bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int")
     ).cache()
     done = done_buckets(spark, out_dir)
-    processed = 0
-    for b in range(n_buckets):
-        if b in done:
-            continue
-        if fail_after is not None and processed >= fail_after:
-            raise RuntimeError(f"simulated crash before bucket {b}")
-        # ONE job per bucket: page/triple counts ride the write itself as
-        # observe() metrics instead of a pre-count plus a re-read count
-        obs_pages = Observation(f"lineage_pages_{b}")
-        obs_triples = Observation(f"lineage_triples_{b}")
-        subset = pages_b.filter(F.col("bucket") == b).observe(
-            obs_pages, F.count(F.lit(1)).alias("n"))
-        t = triples_for(subset.drop("bucket")).withColumn("bucket", F.lit(b))
-        t = t.observe(obs_triples, F.count(F.lit(1)).alias("n"))
-        t.write.mode("overwrite").partitionBy("bucket").parquet(
-            f"{out_dir}/triples"
-        )
-        row = spark.createDataFrame(
-            [(b, obs_pages.get["n"], None, obs_triples.get["n"], "done")],
-            LINEAGE_SCHEMA,
-        )
-        row.write.mode("append").parquet(f"{out_dir}/lineage")
-        processed += 1
+    todo = [b for b in range(n_buckets) if b not in done]
+    if concurrency <= 1:
+        for i, b in enumerate(todo):
+            if fail_after is not None and i >= fail_after:
+                raise RuntimeError(f"simulated crash before bucket {b}")
+            _process_bucket(spark, pages_b, triples_for, out_dir, b)
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        def worker(b: int) -> None:
+            sc = spark.sparkContext
+            sc.setLocalProperty("spark.scheduler.pool", "lineage")
+            try:
+                _process_bucket(spark, pages_b, triples_for, out_dir, b)
+            finally:
+                sc.setLocalProperty("spark.scheduler.pool", None)
+
+        with ThreadPoolExecutor(max_workers=concurrency) as pool:
+            futures = [pool.submit(worker, b) for b in todo]
+            for f in futures:
+                f.result()  # propagate the first failure
     pages_b.unpersist()
 
 

@@ -132,6 +132,45 @@ def test_lineage_resume_exact(spark, tmp_path):
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
 
 
+def test_lineage_concurrent_buckets_exact(spark, tmp_path):
+    """concurrency=4 (thread-pool bucket jobs, private per-bucket output
+    dirs so no shared _temporary staging) must produce exactly the
+    sequential run's triples AND resume a crashed run exactly."""
+    tables = build.gazetteer_tables(spark, SF)
+    surfaces = corpus.gazetteer_surfaces(tables["features"])
+    pages = corpus.synthesize_pages(spark, surfaces, 120)
+    smap = mentions.build_surface_map(tables["features"])
+
+    def triples_for(subset):
+        m = mentions.detect_mentions(subset, smap)
+        linked = link.link_mentions(m, tables["features"])
+        return materialize.mention_triples(linked)
+
+    seq = str(tmp_path / "seq")
+    lineage.run_with_lineage(spark, pages, triples_for, seq, n_buckets=4)
+    conc = str(tmp_path / "conc")
+    lineage.run_with_lineage(spark, pages, triples_for, conc, n_buckets=4,
+                             concurrency=4)
+    a, b = lineage.read_triples(spark, seq), lineage.read_triples(spark, conc)
+    assert a.count() > 0
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    assert len(lineage.done_buckets(spark, conc)) == 4
+
+    # crash sequentially, resume CONCURRENTLY: same converged set
+    res = str(tmp_path / "resumed_conc")
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        lineage.run_with_lineage(spark, pages, triples_for, res,
+                                 n_buckets=4, fail_after=2)
+    lineage.run_with_lineage(spark, pages, triples_for, res, n_buckets=4,
+                             concurrency=4)
+    c = lineage.read_triples(spark, res)
+    assert a.exceptAll(c).count() == 0 and c.exceptAll(a).count() == 0
+
+    with pytest.raises(ValueError, match="concurrency=1"):
+        lineage.run_with_lineage(spark, pages, triples_for, res,
+                                 n_buckets=4, fail_after=1, concurrency=2)
+
+
 def test_ntriples_sink_roundtrip(spark, tmp_path, result):
     path = str(tmp_path / "nt")
     t = result["triples"].limit(500)

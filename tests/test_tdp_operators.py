@@ -399,6 +399,30 @@ def test_knn_blas_backend_equivalence(emb):
     assert a == b
 
 
+def test_knn_blas_hot_label_guard_raises(emb):
+    """A label group above max_group_rows must FAIL LOUDLY naming the
+    label (one worker would otherwise materialize an n×n cosine matrix)
+    instead of silently attempting the quadratic job."""
+    with pytest.raises(ValueError, match="max_group_rows"):
+        similarity.pairwise_topk_per_label_blas(emb, k=3, max_group_rows=10)
+    # cap off => no pre-flight job, runs fine
+    assert similarity.pairwise_topk_per_label_blas(
+        emb.limit(50), k=3, max_group_rows=None).count() > 0
+
+
+def test_knn_blas_chunked_path_equivalence(emb):
+    """The chunked matmul (big-group memory bound: chunk×n not n×n) must
+    produce byte-identical output to the single-matmul path, including
+    self-exclusion at chunk boundaries and tie order."""
+    one = {(r["id_a"], r["rn"]): (r["id_b"], r["cosine"])
+           for r in similarity.pairwise_topk_per_label_blas(
+               emb, k=3).collect()}
+    chunked = {(r["id_a"], r["rn"]): (r["id_b"], r["cosine"])
+               for r in similarity.pairwise_topk_per_label_blas(
+                   emb, k=3, chunk_rows=7).collect()}
+    assert one == chunked
+
+
 def test_simhash_block_defaults_and_combo_cap(spark):
     """Default n_blocks stays sane at any radius; an explicit explosive
     configuration raises instead of silently emitting thousands of keys."""
