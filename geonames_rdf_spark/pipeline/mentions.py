@@ -63,12 +63,18 @@ def detect_mentions(
     if matcher_bc is not None:
         # the broadcast matcher supersedes ``surface_map`` — guard against
         # a caller passing a DIFFERENT map than the one bundled (results
-        # would silently come from the stale broadcast)
-        n_bc, n_map = len(matcher_bc.value), sum(1 for p in surface_map if p)
-        if n_bc != n_map:
+        # would silently come from the stale broadcast).  CONTENT
+        # fingerprint, not just count: an equal-size map of different
+        # surfaces is exactly the failure the guard exists for.
+        from geonames_rdf_spark.pipeline.matcher import surface_fingerprint
+
+        fp_bc = getattr(matcher_bc.value, "fingerprint", None)
+        fp_map = surface_fingerprint(surface_map)
+        if fp_bc != fp_map:
             raise ValueError(
-                f"detect_mentions: matcher_bc holds {n_bc} patterns but"
-                f" surface_map has {n_map} — stale/mismatched broadcast")
+                f"detect_mentions: matcher_bc fingerprint {fp_bc} !="
+                f" surface_map fingerprint {fp_map} (count, key-hash) —"
+                " stale/mismatched broadcast")
         bc = matcher_bc
     else:
         bc = spark.sparkContext.broadcast(build_matcher(surface_map))
@@ -197,16 +203,24 @@ def detect_and_link(pages, scored_map: dict[str, list[tuple[int, float, str]]],
     spark = pages.sparkSession
     # ``bundle_bc``: pre-broadcast (matcher, scored_map) pair — reuse it
     # across scans so workers unpickle/compile the matcher once per job.
-    # When supplied it SUPERSEDES ``scored_map``; the size guard catches a
+    # When supplied it SUPERSEDES ``scored_map``; the guard catches a
     # caller passing a different map than the bundled one (which would
-    # silently score from the stale broadcast).
+    # silently score from the stale broadcast).  Identity short-circuits
+    # (the per-bucket loop passes the same object); otherwise a CONTENT
+    # fingerprint over keys AND scored payloads — same surfaces with
+    # different priors must not slip through either.
     if bundle_bc is not None:
-        n_bundled = len(bundle_bc.value[1])
-        if n_bundled != len(scored_map):
-            raise ValueError(
-                f"detect_and_link: bundle_bc carries {n_bundled} surfaces"
-                f" but scored_map has {len(scored_map)} — stale/mismatched"
-                " broadcast")
+        bundled_map = bundle_bc.value[1]
+        if bundled_map is not scored_map:
+            from geonames_rdf_spark.pipeline.matcher import scored_fingerprint
+
+            fp_b, fp_m = (scored_fingerprint(bundled_map),
+                          scored_fingerprint(scored_map))
+            if fp_b != fp_m:
+                raise ValueError(
+                    f"detect_and_link: bundle_bc fingerprint {fp_b} !="
+                    f" scored_map fingerprint {fp_m} (count, item-hash) —"
+                    " stale/mismatched broadcast")
         bc = bundle_bc
     else:
         bc = spark.sparkContext.broadcast(

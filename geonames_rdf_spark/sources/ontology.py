@@ -57,6 +57,21 @@ def fixture_path() -> str:
     global _LOCAL_FIXTURE
     if os.path.isfile(FIXTURE_PATH):
         return FIXTURE_PATH
+    # zip deploy + NO override: the temp extraction below is DRIVER-local,
+    # which multi-node executors cannot read — fail fast with the fix
+    # instead of an opaque FileNotFoundException inside a scan task
+    from pyspark.sql import SparkSession
+
+    session = SparkSession.getActiveSession()
+    master = session.conf.get("spark.master", "") if session else ""
+    if master and not master.startswith("local"):
+        raise RuntimeError(
+            "ontology fixture: running from a --py-files zip on a"
+            f" non-local master ({master}); executors cannot read a"
+            " driver-local temp file. Put the fixture on shared storage"
+            " (hdfs dfs -put / aws s3 cp the packaged"
+            " sources/data/ontology_v33_static.parquet) and set"
+            " SPARK_GRAFT_ONTOLOGY_PATH to that URI.")
     if _LOCAL_FIXTURE is None or not os.path.isfile(_LOCAL_FIXTURE):
         import importlib.resources
         import shutil

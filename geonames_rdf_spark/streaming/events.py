@@ -256,13 +256,16 @@ def run_stream_kg(
     linked = m.detect_and_link(pages, scored_map, from_html=True)
 
     def write_batch(df, epoch_id: int) -> None:
-        df.sparkSession.conf.set(
-            "spark.sql.sources.partitionOverwriteMode", "dynamic")
         t = materialize.mention_triples(df)
+        # dynamic overwrite scoped to THIS writer (a session-conf mutation
+        # would silently change every later partitioned overwrite in the
+        # same session)
         (t.withColumn("bucket",
                       F.pmod(F.xxhash64("subj"), F.lit(n_buckets)))
           .withColumn("epoch", F.lit(int(epoch_id)))
-          .write.mode("overwrite").partitionBy("epoch", "bucket")
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("epoch", "bucket")
           .parquet(f"{out_dir}/triples"))
 
     return (
@@ -274,11 +277,22 @@ def run_stream_kg(
 
 def read_stream_kg(spark: SparkSession, out_dir: str) -> DataFrame:
     """Read the streamed triple store, collapsing cross-epoch duplicates
-    (the compaction a serving layer runs)."""
+    (the compaction a serving layer runs).
+
+    PER-BUCKET compaction: ``bucket = pmod(xxhash64(subj), N)`` is a
+    function of ``subj``, so cross-epoch duplicates always share a bucket
+    — keeping ``bucket`` among the dedup keys after a repartition ON
+    BUCKET makes the aggregation partition-local (HashPartitioning on a
+    subset of the grouping keys satisfies the aggregate's required
+    distribution: ONE coarse exchange, no second all-columns shuffle, and
+    each bucket compacts independently — the incremental-compaction unit
+    at corpus scale).  Plan shape is test-pinned."""
     return (
         spark.read.parquet(f"{out_dir}/triples")
-        .drop("epoch", "bucket")
+        .drop("epoch")
+        .repartition("bucket")
         .dropDuplicates()
+        .drop("bucket")
     )
 
 

@@ -106,3 +106,29 @@ try:
                 == sorted(TrieRegexMatcher(patterns).scan(text)))
 except ImportError:  # pragma: no cover - hypothesis is baked in here
     pass
+
+
+def test_broadcast_guard_content_fingerprint(spark):
+    """The stale-broadcast guards must catch a DIFFERENT map of EQUAL
+    size (keys for the matcher; keys+priors for the scored bundle) — the
+    exact failure a count-only guard waves through."""
+    from geonames_rdf_spark.pipeline import mentions
+
+    pages = spark.createDataFrame(
+        [("u", "Alpha visited", "en")], "url string, text string, lang string")
+    map_a = {"Alpha": [1]}
+    map_b = {"Betaa": [1]}  # same size, different surface
+    bc = spark.sparkContext.broadcast(build_matcher(map_a))
+    with pytest.raises(ValueError, match="fingerprint"):
+        mentions.detect_mentions(pages, map_b, matcher_bc=bc)
+    assert mentions.detect_mentions(pages, map_a, matcher_bc=bc).count() == 1
+
+    scored_a = {"Alpha": [(1, 0.5, "C0")]}
+    scored_b = {"Alpha": [(1, 0.9, "C0")]}  # same keys, different prior
+    bundle = spark.sparkContext.broadcast(
+        (build_matcher({k: [] for k in scored_a}), scored_a))
+    with pytest.raises(ValueError, match="fingerprint"):
+        mentions.detect_and_link(pages, scored_b, bundle_bc=bundle)
+    # equal content in a DIFFERENT dict object passes the content check
+    assert mentions.detect_and_link(
+        pages, dict(scored_a), bundle_bc=bundle).count() == 1

@@ -30,6 +30,55 @@ def test_tsv_roundtrip_with_null_semantics(spark, tmp_path):
     assert back.exceptAll(norm).count() == 0
 
 
+def test_tsv_zip_source_matches_plain_read(spark, tmp_path):
+    """GOLDEN: a zip archive of TSV members reads IDENTICAL to the plain
+    TSV read (same schema casts, same ''==NULL collapse), including a
+    bundled readme that must be skipped and per-member header rows."""
+    import os
+    import zipfile
+
+    gaz = synth.register_gazetteer(spark, SF)
+    feats = gaz["features_plus"].withColumn("bestName", F.col("name"))
+    cols = [f.name for f in tsv.FEATURES_SCHEMA.fields]
+    path = str(tmp_path / "features_tsv")
+    tsv.write_tsv(feats.select(*cols), path)
+
+    # pack the part files into TWO archives (parallelism unit = archive),
+    # mimicking the per-country dumps: member .txt + a readme to ignore
+    parts = sorted(p for p in os.listdir(path) if p.startswith("part-"))
+    assert parts
+    zips = str(tmp_path / "zips")
+    os.makedirs(zips)
+    half = (len(parts) + 1) // 2
+    for zi, chunk in enumerate([parts[:half], parts[half:]]):
+        if not chunk:
+            continue
+        with zipfile.ZipFile(f"{zips}/dump{zi}.zip", "w") as zf:
+            for i, p in enumerate(chunk):
+                with open(os.path.join(path, p), "rb") as fh:
+                    zf.writestr(f"member{i}.txt", fh.read())
+            zf.writestr("readme.txt.README", "do not parse me\tnot a row")
+
+    plain = tsv.read_tsv(spark, path, tsv.FEATURES_SCHEMA)
+    zipped = tsv.read_tsv_zip(spark, f"{zips}/*.zip", tsv.FEATURES_SCHEMA,
+                              member_suffix=".txt")
+    assert zipped.count() == plain.count() > 0
+    assert plain.exceptAll(zipped).count() == 0
+    assert zipped.exceptAll(plain).count() == 0
+
+    # header=True drops the first line of each member
+    with zipfile.ZipFile(f"{zips}/hdr.zip", "w") as zf:
+        zf.writestr("h.txt", "geonameid\tname\n1\tAlpha\n2\t\n")
+    from pyspark.sql import types as T
+
+    two_cols = T.StructType([tsv.FEATURES_SCHEMA["geonameid"],
+                             tsv.FEATURES_SCHEMA["name"]])
+    hdr = tsv.read_tsv_zip(spark, f"{zips}/hdr.zip", two_cols,
+                           header=True, member_suffix=".txt")
+    rows = {r["geonameid"]: r["name"] for r in hdr.collect()}
+    assert rows == {1: "Alpha", 2: None}
+
+
 def test_ntriples_roundtrip(spark, tmp_path):
     kg = build.build_kg(spark, SF)
     path = str(tmp_path / "kg_nt")

@@ -225,3 +225,71 @@ def test_stream_kg_continuous_build(spark, tmp_path):
     assert streamed.count() == batch.count() > 0
     assert streamed.exceptAll(batch).count() == 0
     assert batch.exceptAll(streamed).count() == 0
+
+    # compaction plan pin: ONE exchange, keyed by bucket only — the
+    # dedup aggregation is partition-local (bucket is a function of subj,
+    # so duplicates always colocate; no second all-columns shuffle)
+    plan = streamed._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert exchanges, plan
+    assert all(e.strip().startswith("bucket") for e in exchanges), exchanges
+
+
+def test_stream_kg_kill_restart_resume(spark, tmp_path):
+    """Crash recovery: stop the stream, ERASE the last commit marker from
+    the checkpoint (simulating a crash AFTER the sink wrote its epoch but
+    BEFORE the stream committed), drop more files, restart from the same
+    checkpoint.  The replayed epoch overwrites its own partition instead
+    of double-appending, and the compacted read equals the batch
+    pipeline over the full corpus."""
+    import glob
+    import os
+
+    from geonames_rdf_spark.operators import build
+    from geonames_rdf_spark.pipeline import corpus, materialize, mentions
+
+    tables = build.gazetteer_tables(spark, SF)
+    feats = tables["features"]
+    surfaces = corpus.gazetteer_surfaces(feats)
+    pages = corpus.synthesize_pages(spark, surfaces, 100)
+    src = str(tmp_path / "pages_src_kr")
+    half1 = pages.filter(F.pmod(F.xxhash64("url"), F.lit(2)) == 0)
+    half2 = pages.filter(F.pmod(F.xxhash64("url"), F.lit(2)) == 1)
+    half1.write.parquet(src)
+    smap_scored = mentions.build_scored_surface_map(feats)
+    out = str(tmp_path / "stream_kg_kr")
+
+    q = ev.run_stream_kg(spark, src, smap_scored, out, n_buckets=4)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    n_after_first = ev.read_stream_kg(spark, out).count()
+    assert n_after_first > 0
+
+    # simulate the crash window: epoch files are on disk but the commit
+    # marker never landed -> restart must REPLAY that epoch idempotently
+    commits = sorted(glob.glob(f"{out}/_checkpoint/commits/[0-9]*"))
+    assert commits
+    os.remove(commits[-1])
+    crc = os.path.join(os.path.dirname(commits[-1]),
+                       f".{os.path.basename(commits[-1])}.crc")
+    if os.path.exists(crc):  # hadoop local-fs checksum sidecar
+        os.remove(crc)
+
+    half2.write.mode("append").parquet(src)
+    q2 = ev.run_stream_kg(spark, src, smap_scored, out, n_buckets=4)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    streamed = ev.read_stream_kg(spark, out)
+    batch = materialize.mention_triples(
+        mentions.detect_and_link(spark.read.parquet(src), smap_scored,
+                                 from_html=True))
+    assert streamed.count() == batch.count() > 0
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0

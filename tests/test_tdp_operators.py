@@ -172,6 +172,34 @@ def test_ann_lsh_recall(emb):
     assert len(exact & approx) >= 1
 
 
+def test_ann_recall_monotone_and_full_probe_exact(emb):
+    """Recall@10 vs brute force is MONOTONE in the probe width for both
+    ANN families (the probed candidate set nests as nprobe/probe_hamming
+    grow), and a full probe (all cells / all buckets) is EXACTLY the
+    brute-force result — the two ends every deployment tunes between.
+    The interior recall/cost trade-off is recorded by
+    scripts/ann_recall.py in BENCH.md."""
+    q = [float(x) for x in emb.filter("vec_id = 7").first()["embedding"]]
+    exact = [r["vec_id"] for r in similarity.cosine_topk(emb, q, k=10).collect()]
+
+    cents = similarity.fixed_centroids(8, len(q))
+    ivf = []
+    for nprobe in (1, 2, 4, 8):
+        got = {r["vec_id"] for r in similarity.ann_ivf_topk(
+            emb, q, k=10, centroids=cents, nprobe=nprobe).collect()}
+        ivf.append(len(got & set(exact)) / len(exact))
+    assert ivf == sorted(ivf), ivf
+    assert ivf[-1] == 1.0  # nprobe == n_cells => exhaustive
+
+    lsh = []
+    for ph in (0, 2, 4, 8):
+        got = {r["vec_id"] for r in similarity.ann_lsh_topk(
+            emb, q, k=10, planes=8, probe_hamming=ph).collect()}
+        lsh.append(len(got & set(exact)) / len(exact))
+    assert lsh == sorted(lsh), lsh
+    assert lsh[-1] == 1.0  # probe_hamming == planes => exhaustive
+
+
 def test_embedding_near_dup_exact_copies(emb):
     copy = emb.withColumn("vec_id", F.col("vec_id") + 100000)
     out = dedup.embedding_near_dups(emb.unionByName(copy), threshold=0.999)
