@@ -33,40 +33,53 @@ from pyspark.sql import functions as F  # noqa: E402
 from geonames_rdf_spark.operators import skew  # noqa: E402
 from geonames_rdf_spark.session import get_spark  # noqa: E402
 
-N_BIG = int(os.environ.get("SKEW_ROWS", "4000000"))
+N_BIG = int(os.environ.get("SKEW_ROWS", "16000000"))
 N_KEYS = 10_000
 HOT_FRAC = 0.5
 REPS = int(os.environ.get("SKEW_REPS", "3"))
 
 
 def main() -> None:
+    import shutil
+    import tempfile
+
     spark = get_spark(app_name="skew_ab")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
 
     # Zipf head: HOT_FRAC of rows share one key; tail uniform over N_KEYS.
-    # A payload column gives the shuffle real bytes to move.
-    big = (
-        spark.range(N_BIG)
-        .withColumn(
-            "key",
-            F.when(F.pmod(F.xxhash64("id", F.lit(1)), F.lit(1000))
-                   < int(HOT_FRAC * 1000), F.lit("London"))
-            .otherwise(F.concat(F.lit("k"),
-                                F.pmod(F.xxhash64("id", F.lit(2)),
-                                       F.lit(N_KEYS)).cast("string"))))
-        .withColumn("payload", F.sha2(F.col("id").cast("string"), 256))
-    )
-    small = (
-        spark.range(N_KEYS + 1)
-        .withColumn("key", F.when(F.col("id") == N_KEYS, F.lit("London"))
-                    .otherwise(F.concat(F.lit("k"), F.col("id").cast("string"))))
-        .withColumn("dim_val", F.sha2(F.col("key"), 256))
-        .drop("id")
-    )
+    # A payload column gives the shuffle real bytes to move.  Inputs are
+    # MATERIALIZED to parquet outside the measured region — generating
+    # them inline (range + sha2) is embarrassingly parallel work that
+    # dominated the wall time and hid the straggler in a first cut of
+    # this harness.
+    tmp = tempfile.mkdtemp(prefix="skew_ab_")
+    (spark.range(N_BIG)
+     .withColumn(
+         "key",
+         F.when(F.pmod(F.xxhash64("id", F.lit(1)), F.lit(1000))
+                < int(HOT_FRAC * 1000), F.lit("London"))
+         .otherwise(F.concat(F.lit("k"),
+                             F.pmod(F.xxhash64("id", F.lit(2)),
+                                    F.lit(N_KEYS)).cast("string"))))
+     .withColumn("payload", F.sha2(F.col("id").cast("string"), 256))
+     .write.parquet(f"{tmp}/big"))
+    (spark.range(N_KEYS + 1)
+     .withColumn("key", F.when(F.col("id") == N_KEYS, F.lit("London"))
+                 .otherwise(F.concat(F.lit("k"), F.col("id").cast("string"))))
+     .withColumn("dim_val", F.sha2(F.col("key"), 256))
+     .drop("id")
+     .write.parquet(f"{tmp}/small"))
+    big = spark.read.parquet(f"{tmp}/big")
+    small = spark.read.parquet(f"{tmp}/small")
 
     def agg(j):
-        return j.agg(F.count(F.lit(1)).alias("n"),
-                     F.max("dim_val").alias("mx")).collect()[0]["n"]
+        # max over payload||dim_val keeps BOTH sides' bytes flowing
+        # through the join (column pruning would otherwise strip the
+        # payload and reduce the straggler to a row counter)
+        return j.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max(F.concat_ws("|", "payload", "dim_val")).alias("mx"),
+        ).collect()[0]["n"]
 
     def plain():
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
@@ -91,6 +104,7 @@ def main() -> None:
             if name not in timings or dt < timings[name]:
                 timings[name] = dt
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    shutil.rmtree(tmp, ignore_errors=True)
     assert len(set(counts.values())) == 1, counts  # all variants agree
     print(json.dumps({
         "rows": N_BIG, "hot_frac": HOT_FRAC, "n_keys": N_KEYS,

@@ -81,6 +81,21 @@ def test_salted_join_equivalence(spark):
     assert salted.exceptAll(plain).count() == 0
 
 
+def test_salted_join_actually_spreads_hot_key(spark):
+    """The salt must be per-ROW, not key-derived: a hot key's rows have
+    to land in MULTIPLE salt buckets or the operator is a no-op for skew
+    (the r04 A/B measurement caught exactly this — the equivalence test
+    above cannot, because results match either way)."""
+    hot = spark.range(1000).select(
+        F.lit("London").alias("k"), F.col("id").alias("v"))
+    salted = hot.withColumn("_salt", skew.salt_expr(hot, 8))
+    n_buckets = salted.select("_salt").distinct().count()
+    assert n_buckets == 8  # 1000 rows over 8 salts: every bucket hit
+    # and the spread is roughly even (no bucket owns > 2x its fair share)
+    mx = salted.groupBy("_salt").count().agg(F.max("count")).collect()[0][0]
+    assert mx < 2 * (1000 / 8)
+
+
 def test_canonicalize_rewrites_links(spark):
     edges = spark.createDataFrame([(1, 5), (5, 9), (20, 21)], ["a", "b"])
     mapping = canonicalize.canonical_map(edges)
