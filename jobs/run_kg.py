@@ -31,6 +31,11 @@ def main() -> None:
                     help="sandbox fallback: synthesize this many pages"
                          " when no --pages-table is given")
     ap.add_argument("--buckets", type=int, default=32)
+    ap.add_argument("--concurrency", type=int, default=1,
+                    help="bucket jobs submitted at once (thread pool);"
+                         " >1 keeps the cluster busy across bucket tails"
+                         " — each bucket writes to a private directory so"
+                         " concurrent jobs never share commit staging")
     ap.add_argument("--resume", action="store_true",
                     help="skip buckets already marked done in the lineage table")
     ap.add_argument("--canonicalize", action="store_true",
@@ -97,7 +102,8 @@ def main() -> None:
         return materialize.mention_triples(linked)
 
     lineage.run_with_lineage(spark, pages, triples_for, args.out,
-                             n_buckets=args.buckets)
+                             n_buckets=args.buckets,
+                             concurrency=args.concurrency)
 
     kg = build.build_kg(spark, args.sf_dir, tables=tables)
     mention_triples = lineage.read_triples(spark, args.out)
