@@ -12,6 +12,8 @@ stream the batch pipeline yields.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -294,6 +296,39 @@ def read_stream_kg(spark: SparkSession, out_dir: str) -> DataFrame:
         .dropDuplicates()
         .drop("bucket")
     )
+
+
+def compact_stream_kg(spark: SparkSession, out_dir: str) -> None:
+    """WRITE-side compaction of the streamed triple store: collapse all
+    epochs of each bucket into a single ``epoch=0`` file set with
+    cross-epoch duplicates dropped (same per-bucket partition-local dedup
+    as ``read_stream_kg``), then atomically swap directories.
+
+    Run it with the stream stopped (or accept that a later epoch REPLAY
+    may re-introduce rows the compactor already folded — harmless,
+    because ``read_stream_kg``'s dedup remains the correctness layer;
+    compaction is the IO optimization that keeps file counts and scan
+    width bounded as epochs accumulate).  An Iceberg catalog would do the
+    swap as a snapshot commit; on plain parquet it is a directory rename.
+    """
+    import shutil
+    import tempfile
+
+    src = f"{out_dir}/triples"
+    staged = tempfile.mkdtemp(prefix="kg_compact_",
+                              dir=os.path.dirname(src) or ".")
+    (spark.read.parquet(src)
+     .drop("epoch")
+     .repartition("bucket")
+     .dropDuplicates()
+     .withColumn("epoch", F.lit(0))
+     .write.mode("overwrite").partitionBy("epoch", "bucket")
+     .parquet(staged))
+    old = f"{out_dir}/_triples_precompact"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(src, old)
+    os.rename(staged, src)
+    shutil.rmtree(old, ignore_errors=True)
 
 
 def run_stream_stateful_counts(

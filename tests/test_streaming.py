@@ -226,6 +226,20 @@ def test_stream_kg_continuous_build(spark, tmp_path):
     assert streamed.exceptAll(batch).count() == 0
     assert batch.exceptAll(streamed).count() == 0
 
+    # WRITE-side compaction: epochs collapse to epoch=0, the compacted
+    # store reads identically, and the raw store itself is now dup-free
+    import glob as _glob
+
+    ev.compact_stream_kg(spark, out)
+    epochs = {e.rsplit("=", 1)[1]
+              for e in _glob.glob(f"{out}/triples/epoch=*")}
+    assert epochs == {"0"}
+    after = ev.read_stream_kg(spark, out)
+    assert after.exceptAll(batch).count() == 0
+    assert batch.exceptAll(after).count() == 0
+    raw = spark.read.parquet(f"{out}/triples").drop("epoch", "bucket")
+    assert raw.count() == batch.count()  # store itself deduplicated
+
     # compaction plan pin: ONE exchange, keyed by bucket only — the
     # dedup aggregation is partition-local (bucket is a function of subj,
     # so duplicates always colocate; no second all-columns shuffle)
