@@ -438,6 +438,26 @@ def test_knn_blas_hot_label_guard_raises(emb):
         emb.limit(50), k=3, max_group_rows=None).count() > 0
 
 
+def test_knn_blas_oversize_column_routing(emb):
+    """on_oversize='column' routes hot labels to the distributed
+    Column-fold variant and keeps the BLAS path for the rest — the union
+    must equal the unguarded BLAS output exactly."""
+    want = {(r["id_a"], r["rn"]): (r["id_b"], r["cosine"])
+            for r in similarity.pairwise_topk_per_label_blas(
+                emb, k=3, max_group_rows=None).collect()}
+    # cap 10 => every label hot; cap 50 => a genuine mixed split (label
+    # sizes span 42-63 at this sf)
+    for cap in (10, 50):
+        got = {(r["id_a"], r["rn"]): (r["id_b"], r["cosine"])
+               for r in similarity.pairwise_topk_per_label_blas(
+                   emb, k=3, max_group_rows=cap,
+                   on_oversize="column").collect()}
+        assert got == want, cap
+    with pytest.raises(ValueError, match="on_oversize"):
+        similarity.pairwise_topk_per_label_blas(
+            emb, k=3, max_group_rows=10, on_oversize="typo")
+
+
 def test_knn_blas_chunked_path_equivalence(emb):
     """The chunked matmul (big-group memory bound: chunk×n not n×n) must
     produce byte-identical output to the single-matmul path, including
