@@ -1,0 +1,101 @@
+"""Incremental KG maintenance: changelog exactness + bucket-scoped update.
+
+The reference re-runs the full converter per dump (run.sh:33-63); the
+delta layer replaces that with an exact changelog and a store update that
+rewrites only the subject-hash buckets containing changed subjects.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from geonames_rdf_spark.operators import build
+from geonames_rdf_spark.pipeline import delta
+from tests.conftest import SF
+
+N_BUCKETS = 64
+
+
+@pytest.fixture(scope="module")
+def worlds(spark):
+    old, new = _worlds(spark)
+    # pin both builds: every exceptAll/count below would otherwise
+    # re-execute the full KG plans
+    return (old.localCheckpoint(eager=True),
+            new.localCheckpoint(eager=True))
+
+
+def _worlds(spark):
+    """(old_triples, new_triples): the new world bumps population on a few
+    features and deletes a few non-admin features (alt rows pruned with
+    them, as a real re-derive would)."""
+    tables_old = build.gazetteer_tables(spark, SF)
+    old = build.build_kg(spark, SF, tables=tables_old)
+
+    # the sf0.001 gazetteer holds 150 features (ids 0-149): bump ~20
+    # populations, delete a handful of populated places (P-class rows are
+    # never admin parents, so the derived lookup tables stay consistent)
+    f = tables_old["features"]
+    mutated = (
+        f.withColumn(
+            "population",
+            F.when(F.col("geonameid") % 7 == 0,
+                   F.col("population") + 1).otherwise(F.col("population")))
+        .filter(~((F.col("geonameid") % 5 == 0)
+                  & (F.col("feature_class") == "P")))
+    )
+    tables_new = dict(tables_old)
+    tables_new["features"] = mutated
+    tables_new["alt_names"] = tables_old["alt_names"].join(
+        mutated.select("geonameid"), "geonameid", "left_semi")
+    new = build.build_kg(spark, SF, tables=tables_new)
+    return old, new
+
+
+def test_delta_changelog_replay_exact(spark, worlds):
+    old, new = worlds
+    log = delta.triple_changelog(old, new)
+    n_adds = log.filter("op = 'add'").count()
+    n_dels = log.filter("op = 'del'").count()
+    assert n_adds > 0 and n_dels > 0  # both mutation kinds visible
+    # the changelog is small relative to the world (the point of a delta)
+    assert (n_adds + n_dels) < old.count() / 10
+    replayed = delta.apply_changelog(old, log)
+    assert replayed.exceptAll(new).count() == 0
+    assert new.exceptAll(replayed).count() == 0
+
+
+def test_delta_store_update_touches_only_affected_buckets(spark, worlds,
+                                                          tmp_path):
+    old, new = worlds
+    log = delta.triple_changelog(old, new)
+    store = str(tmp_path / "store")
+    delta.write_triple_store(spark, old, store, n_buckets=N_BUCKETS)
+    before = {d: os.path.getmtime(d)
+              for d in glob.glob(f"{store}/bucket=*")}
+
+    stats = delta.update_triple_store(spark, store, log, new,
+                                      n_buckets=N_BUCKETS)
+    assert 0 < stats["buckets_rewritten"] < N_BUCKETS  # a DELTA, not a rewrite
+    assert stats["adds"] > 0 and stats["dels"] > 0
+
+    got = delta.read_triple_store(spark, store)
+    assert got.exceptAll(new).count() == 0
+    assert new.exceptAll(got).count() == 0
+
+    # untouched bucket directories were not rewritten
+    untouched = [d for d in before
+                 if os.path.isdir(d) and os.path.getmtime(d) == before[d]]
+    assert len(untouched) >= len(before) - stats["buckets_rewritten"]
+
+    # IDEMPOTENT: subject-level replace means re-running the same update
+    # (the crash-recovery path — some buckets swapped, some not) converges
+    # to the same store
+    delta.update_triple_store(spark, store, log, new, n_buckets=N_BUCKETS)
+    again = delta.read_triple_store(spark, store)
+    assert again.exceptAll(new).count() == 0
+    assert new.exceptAll(again).count() == 0
