@@ -73,7 +73,7 @@ def read_triple_store(spark: SparkSession, path: str) -> DataFrame:
 
 def update_triple_store(spark: SparkSession, path: str,
                         changelog: DataFrame, new_triples: DataFrame,
-                        n_buckets: int = 64) -> dict:
+                        n_buckets: int = 64, concurrency: int = 1) -> dict:
     """Apply a dump refresh to a bucketed store, rewriting ONLY the
     buckets that contain changed subjects.  Returns
     ``{"buckets_rewritten": k, "n_buckets": n, "adds": a, "dels": d}``.
@@ -106,7 +106,8 @@ def update_triple_store(spark: SparkSession, path: str,
                       .localCheckpoint(eager=True))
     buckets = sorted(r["bucket"] for r in
                      affected_keyed.select("bucket").distinct().collect())
-    for b in buckets:
+
+    def do_bucket(b: int) -> None:
         src = f"{path}/bucket={b}"
         subj_b = F.broadcast(
             affected_keyed.filter(F.col("bucket") == b).select("subj"))
@@ -127,6 +128,18 @@ def update_triple_store(spark: SparkSession, path: str,
             os.rename(src, backup)
         os.rename(staged, src)
         shutil.rmtree(backup, ignore_errors=True)
+
+    if concurrency <= 1:
+        for b in buckets:
+            do_bucket(b)
+    else:
+        # same private-staging argument as lineage.run_with_lineage: no
+        # shared commit staging, so bucket jobs compose concurrently
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=concurrency) as pool:
+            for fut in [pool.submit(do_bucket, b) for b in buckets]:
+                fut.result()
     return {"buckets_rewritten": len(buckets), "n_buckets": n_buckets,
             "adds": int(counts.get("add", 0)),
             "dels": int(counts.get("del", 0))}

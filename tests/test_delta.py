@@ -94,8 +94,9 @@ def test_delta_store_update_touches_only_affected_buckets(spark, worlds,
 
     # IDEMPOTENT: subject-level replace means re-running the same update
     # (the crash-recovery path — some buckets swapped, some not) converges
-    # to the same store
-    delta.update_triple_store(spark, store, log, new, n_buckets=N_BUCKETS)
+    # to the same store; run the retry CONCURRENTLY to cover that path too
+    delta.update_triple_store(spark, store, log, new, n_buckets=N_BUCKETS,
+                              concurrency=8)
     again = delta.read_triple_store(spark, store)
     assert again.exceptAll(new).count() == 0
     assert new.exceptAll(again).count() == 0
