@@ -33,14 +33,46 @@ PLANES = 8
 N_CELLS = 8
 
 
+def _clustered_corpus(spark, n: int = 2000, dim: int = 64,
+                      n_clusters: int = 16):
+    """Deterministic Gaussian-mixture embeddings (seeded numpy): the shape
+    real embedding corpora have — run with ``--clustered`` to see IVF's
+    behaviour when cells can align with actual structure, vs the uniform
+    worst case the synthetic table gives."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(42)
+    centers = rng.normal(0, 1.0, size=(n_clusters, dim))
+    assign = rng.integers(0, n_clusters, size=n)
+    X = centers[assign] + rng.normal(0, 0.15, size=(n, dim))
+    pdf = pd.DataFrame({
+        "vec_id": np.arange(n, dtype="int64"),
+        "embedding": [row.astype("float32").tolist() for row in X],
+        "label": [f"c{a}" for a in assign],
+    })
+    return spark.createDataFrame(pdf)
+
+
 def main() -> None:
+    import sys as _sys
+
+    clustered = "--clustered" in _sys.argv
     spark = get_spark(app_name="ann_recall")
-    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+    if clustered:
+        emb = _clustered_corpus(spark).cache()
+    else:
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
     n_total = emb.count()
     queries = [(r["vec_id"], [float(x) for x in r["embedding"]])
                for r in emb.orderBy("vec_id").limit(N_QUERIES).collect()]
     dim = len(queries[0][1])
-    cents = similarity.fixed_centroids(N_CELLS, dim)
+    if clustered:
+        # trained coarse quantizer — the honest IVF deployment when the
+        # corpus has structure for cells to align with
+        cents = similarity.train_ivf_centroids(emb, k=N_CELLS, iters=3)
+    else:
+        cents = similarity.fixed_centroids(N_CELLS, dim)
 
     exact = {qid: [r["vec_id"] for r in
                    similarity.cosine_topk(emb, q, k=K).collect()]
@@ -54,8 +86,9 @@ def main() -> None:
     bucketed = emb.withColumn(
         "_bucket", similarity.lsh_bucket(F.col("embedding"), PLANES, dim=dim))
 
+    src = "clustered-mixture (trained centroids)" if clustered else SF_DIR
     print(f"corpus={n_total} vectors  dim={dim}  k={K}  queries={N_QUERIES}"
-          f"  sf_dir={SF_DIR}")
+          f"  source={src}")
     print("\n| family | probe | recall@10 | candidates % |")
     print("|---|---|---|---|")
 
