@@ -129,3 +129,30 @@ def test_triple_pr_detects_divergence(spark):
     pr = evaluation.triple_pr(raw, kg)
     assert pr["recall"] == 1.0
     assert pr["precision"] < 1.0
+
+
+def test_versioned_catalog_snapshot_commit(spark, tmp_path):
+    """Iceberg-style snapshot semantics on plain parquet: atomic pointer
+    commit, reader isolation across a concurrent commit, time travel,
+    and snapshot expiry."""
+    from geonames_rdf_spark.sources import catalog
+
+    path = str(tmp_path / "vtab")
+    a = spark.range(10).withColumn("x", F.lit("a"))
+    b = spark.range(20).withColumn("x", F.lit("b"))
+    v1 = catalog.write_table_versioned(a, path)
+    pinned = catalog.read_table_versioned(spark, path)  # resolves v1
+    v2 = catalog.write_table_versioned(b, path)
+    assert (v1, v2) == (1, 2)
+    assert catalog.current_snapshot(path) == 2
+    assert catalog.read_table_versioned(spark, path).count() == 20
+    # isolation: the reader that resolved before the commit still sees v1
+    assert pinned.count() == 10
+    # time travel
+    assert catalog.read_table_versioned(spark, path, snapshot=1).count() == 10
+    assert catalog.table_snapshots(path) == [1, 2]
+    # expiry retires old versions, never the current one
+    catalog.write_table_versioned(a, path)
+    assert catalog.expire_snapshots(path, keep=2) == [1]
+    assert catalog.table_snapshots(path) == [2, 3]
+    assert catalog.read_table_versioned(spark, path).count() == 10
