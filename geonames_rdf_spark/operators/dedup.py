@@ -470,3 +470,51 @@ def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95,
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def word_ngram_expr(text, n: int):
+    """Array of word n-grams (lowercased, whitespace-split) as a pure
+    Column expression — stays in whole-stage codegen, no UDF."""
+    toks = F.filter(F.split(F.lower(F.trim(text)), r"\s+"),
+                    lambda t: t != "")
+    count = F.size(toks) - F.lit(n - 1)
+    return F.when(
+        count >= 1,
+        F.transform(F.sequence(F.lit(1), count),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i, n))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 13,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  bench_text_col: str = "text") -> DataFrame:
+    """Benchmark decontamination: flag training documents that share any
+    word ``n``-gram with an evaluation set (the standard 13-gram rule).
+
+    Returns one row per doc: (doc_id, n_contaminated, contaminated) where
+    ``n_contaminated`` counts DISTINCT leaked n-grams.
+
+    100-TB shape: the benchmark n-gram set is dimension-sized (eval
+    suites are millions of n-grams) — hashed to 64-bit and BROADCAST, so
+    the corpus side is a map-side semi-join over its exploded n-grams
+    with no shuffle except the per-doc hit count (keyed by doc id,
+    map-side combinable).  Everything stays JVM-side (no UDF)."""
+    bench_grams = (
+        benchmark.select(
+            F.explode(word_ngram_expr(F.col(bench_text_col), n)).alias("g"))
+        .select(F.xxhash64("g").alias("gh")).distinct()
+    )
+    doc_grams = docs.select(
+        F.col(id_col),
+        F.explode_outer(word_ngram_expr(F.col(text_col), n)).alias("g"),
+    ).select(id_col, F.xxhash64("g").alias("gh"))
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "gh", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count_distinct("gh").alias("n_contaminated"))
+    )
+    return (
+        docs.select(id_col).join(hits, id_col, "left")
+        .fillna({"n_contaminated": 0})
+        .withColumn("contaminated", F.col("n_contaminated") > 0)
+    )

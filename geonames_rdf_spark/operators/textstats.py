@@ -233,3 +233,89 @@ def rolling_fingerprint(docs: DataFrame, k: int = 16,
     starts = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
     windows = F.transform(starts, lambda i: F.md5(norm.substr(i, F.lit(k))))
     return docs.select("doc_id", F.array_min(windows).alias("fingerprint"))
+
+
+# --- character n-gram LM quality filter (CCNet-style) ----------------------
+
+def _char_ngram_expr(text: Column, n: int) -> Column:
+    """Array of character n-grams of the normalized text — pure Column
+    (sequence -> transform -> substr), stays in codegen."""
+    norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    ln = F.length(norm)
+    return F.when(
+        ln >= n,
+        F.transform(F.sequence(F.lit(1), ln - F.lit(n - 1)),
+                    lambda i: norm.substr(i, F.lit(n))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def train_char_lm(docs: DataFrame, n: int = 3, top_k: int = 50_000,
+                  text_col: str = "text") -> dict:
+    """Train a character n-gram language model distributed: ONE map-side-
+    combinable groupBy count per order (n and n-1), capped at ``top_k``
+    entries each via TakeOrdered with deterministic ties.  Returns a
+    plain-dict bundle (broadcastable): the CCNet recipe's LM, built on
+    the cluster instead of imported.
+
+    Probability model at scoring time: Laplace-smoothed conditional
+    P(c_n | prefix) = (count_n + 1) / (count_prefix + V), V = 256.
+    """
+    def counts(order: int) -> dict:
+        rows = (
+            docs.select(F.explode(_char_ngram_expr(F.col(text_col), order))
+                        .alias("g"))
+            .groupBy("g").agg(F.count(F.lit(1)).alias("c"))
+            .orderBy(F.desc("c"), F.asc("g")).limit(top_k)
+            .collect()
+        )
+        return {r["g"]: r["c"] for r in rows}
+
+    return {"n": n, "ngram": counts(n), "prefix": counts(n - 1), "V": 256}
+
+
+def lm_perplexity(docs: DataFrame, lm: dict,
+                  text_col: str = "text") -> DataFrame:
+    """Score each document with the trained char-LM:
+    (doc_id, n_grams, avg_nll, ppl).  Documents shorter than the LM
+    order score NULL (no evidence), not 0 — a filter must distinguish
+    'fluent' from 'unmeasurable'.
+
+    Scale shape: the LM is a broadcast dict; scoring is one Arrow batch
+    pass, linear in corpus size (the standard perplexity-filter layout —
+    model-side state small, corpus-side streaming)."""
+    import math
+
+    import pandas as pd
+
+    spark = docs.sparkSession
+    bc = spark.sparkContext.broadcast(lm)
+
+    def score(batches):
+        m = bc.value
+        n, grams, prefix, V = m["n"], m["ngram"], m["prefix"], m["V"]
+        for pdf in batches:
+            ids, cnt, nll, ppl = [], [], [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                norm = " ".join((text or "").lower().split())
+                k = len(norm) - n + 1
+                ids.append(did)
+                if k < 1:
+                    cnt.append(0)
+                    nll.append(None)
+                    ppl.append(None)
+                    continue
+                total = 0.0
+                for i in range(k):
+                    g = norm[i:i + n]
+                    c_n = grams.get(g, 0)
+                    c_p = prefix.get(g[:-1], 0)
+                    total += -math.log((c_n + 1.0) / (c_p + V))
+                avg = total / k
+                cnt.append(k)
+                nll.append(round(avg, 4))
+                ppl.append(round(math.exp(avg), 4))
+            yield pd.DataFrame({"doc_id": ids, "n_grams": cnt,
+                                "avg_nll": nll, "ppl": ppl})
+
+    return docs.select("doc_id", F.col(text_col).alias("text")).mapInPandas(
+        score, schema="doc_id bigint, n_grams int, avg_nll double, ppl double")

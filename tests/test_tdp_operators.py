@@ -480,6 +480,53 @@ def test_simhash_block_defaults_and_combo_cap(spark):
         dedup.simhash_candidate_values(vals, max_hamming=3, n_blocks=30)
 
 
+def test_char_lm_perplexity_separates_gibberish(docs, spark):
+    """A char-LM trained on the corpus must score in-domain text lower-
+    perplexity than gibberish; short/empty docs score NULL (unmeasurable),
+    not 0; scoring is deterministic."""
+    lm = textstats.train_char_lm(docs, n=3, top_k=20000)
+    sample_text = docs.first()["text"]
+    probe = spark.createDataFrame(
+        [(1, sample_text), (2, "zq xv jk wq zx qz kj vx zzq xqv"),
+         (3, "ab"), (4, None)],
+        "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in
+           textstats.lm_perplexity(probe, lm).collect()}
+    assert out[1]["ppl"] < out[2]["ppl"]  # in-domain beats gibberish
+    assert out[3]["ppl"] is None and out[4]["ppl"] is None
+    again = {r["doc_id"]: r["ppl"] for r in
+             textstats.lm_perplexity(probe, lm).collect()}
+    assert again == {k: v["ppl"] for k, v in out.items()}
+
+
+def test_decontaminate_flags_benchmark_overlap(spark):
+    """Docs sharing a full n-gram with the eval set are flagged with the
+    leaked-gram count; (n-1)-token overlap is NOT contamination; short
+    and empty docs come back clean, not dropped."""
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog tonight"),
+         (2, "quick brown fox something entirely different here now"),
+         (3, "totally unrelated text with no overlap at all"),
+         (4, "tiny"), (5, "")],
+        "doc_id bigint, text string")
+    bench = spark.createDataFrame(
+        [(100, "we ask about the quick brown fox jumps in question one")],
+        "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in
+           dedup.decontaminate(docs, bench, n=5).collect()}
+    assert out[1]["contaminated"] and out[1]["n_contaminated"] == 1
+    # doc 2 shares only the 3-gram 'quick brown fox' < n=5 => clean
+    assert not out[2]["contaminated"]
+    assert not out[3]["contaminated"]
+    assert not out[4]["contaminated"] and not out[5]["contaminated"]
+    assert set(out) == {1, 2, 3, 4, 5}  # every doc present
+    # case-insensitive match
+    up = docs.withColumn("text", F.upper("text"))
+    out_up = {r["doc_id"]: r["contaminated"] for r in
+              dedup.decontaminate(up, bench, n=5).collect()}
+    assert out_up[1]
+
+
 def test_curate_corpus_composite(docs):
     from geonames_rdf_spark.operators import curate
 
