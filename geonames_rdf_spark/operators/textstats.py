@@ -319,3 +319,48 @@ def lm_perplexity(docs: DataFrame, lm: dict,
 
     return docs.select("doc_id", F.col(text_col).alias("text")).mapInPandas(
         score, schema="doc_id bigint, n_grams int, avg_nll double, ppl double")
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals per document:
+
+    - ``dup_line_frac``  — 1 - distinct/total over non-blank lines (the
+      'same boilerplate line repeated' signal), pure array Columns;
+    - ``dup_word_frac``  — 1 - distinct/total over words, pure Columns;
+    - ``top_bigram_share`` — occurrences of the most frequent word bigram
+      / total bigrams (the 'looping n-gram' signal), via explode +
+      map-side-combinable count + per-doc max — the one shuffle here is
+      keyed (doc_id, bigram) and combines before the exchange.
+
+    Gopher's published cut-offs for reference: drop if dup_line_frac >
+    0.30 or top-2-gram share > 0.20 (tune per corpus).  Empty docs score
+    0.0 everywhere (clean, not NULL — absence of text is not repetition).
+    """
+    from geonames_rdf_spark.operators.dedup import word_ngram_expr
+
+    lines = F.filter(F.split(F.col(text_col), "\n"),
+                     lambda t: F.trim(t) != "")
+    words = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                     lambda t: t != "")
+
+    def dup_frac(arr):
+        return F.when(
+            F.size(arr) > 0,
+            F.round(1 - F.size(F.array_distinct(arr)) / F.size(arr), 4),
+        ).otherwise(F.lit(0.0))
+
+    base = docs.select(
+        "doc_id",
+        dup_frac(lines).alias("dup_line_frac"),
+        dup_frac(words).alias("dup_word_frac"),
+    )
+    grams = docs.select(
+        "doc_id",
+        F.explode(word_ngram_expr(F.col(text_col), 2)).alias("g"))
+    shares = (
+        grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.round(F.max("c") / F.sum("c"), 4).alias("top_bigram_share"))
+    )
+    return (base.join(shares, "doc_id", "left")
+            .fillna({"top_bigram_share": 0.0}))

@@ -557,3 +557,54 @@ def test_oov_rate_semantics(spark):
     # empty/NULL docs present with zeros (not dropped)
     assert out[3]["n_tokens"] == 0 and out[3]["oov_rate"] == 0.0
     assert out[4]["n_tokens"] == 0 and out[4]["oov_rate"] == 0.0
+
+
+def test_repetition_stats_gopher_signals(spark):
+    """Repeated-line boilerplate, looping bigrams, and clean text separate
+    on the Gopher repetition signals; empty docs score 0.0 (clean)."""
+    docs = spark.createDataFrame(
+        [(1, "buy now\nbuy now\nbuy now\nbuy now"),
+         (2, "the cat the cat the cat the cat the cat"),
+         (3, "a perfectly normal sentence with distinct words only"),
+         (4, "")],
+        "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in
+           textstats.repetition_stats(docs).collect()}
+    assert out[1]["dup_line_frac"] == 0.75          # 4 lines, 1 distinct
+    assert out[1]["top_bigram_share"] > 0.4
+    assert out[2]["top_bigram_share"] > 0.4         # 'the cat' loops
+    assert out[2]["dup_word_frac"] > 0.7
+    assert out[3]["dup_line_frac"] == 0.0
+    assert out[3]["top_bigram_share"] < 0.2
+    assert out[4]["dup_line_frac"] == 0.0
+    assert out[4]["top_bigram_share"] == 0.0
+
+
+def test_curate_corpus_full_gate_stack(docs, spark):
+    """All four r04 gates composed in one lazy plan: decontamination,
+    repetition caps, and the LM perplexity cap each strictly narrow the
+    baseline curated set, and the default call is unchanged."""
+    from geonames_rdf_spark.operators import curate
+
+    base = curate.curate_corpus(docs, min_quality=0.0)
+    n_base = base.count()
+    assert n_base > 0
+
+    # benchmark = one real doc's text => at least that doc is removed
+    bench = docs.limit(1).select("doc_id", "text")
+    decon = curate.curate_corpus(docs, min_quality=0.0,
+                                 decontam_benchmark=bench,
+                                 decontam_ngram=5)
+    assert 0 < decon.count() < n_base
+
+    lm = textstats.train_char_lm(docs, n=3, top_k=20000)
+    gated = curate.curate_corpus(
+        docs, min_quality=0.0, decontam_benchmark=bench, decontam_ngram=5,
+        max_dup_line_frac=0.9, max_top_bigram_share=0.9,
+        lm=lm, max_ppl=1e6)
+    # permissive caps: same as decon-only (wiring exercised, nothing
+    # spuriously dropped)
+    assert gated.count() == decon.count()
+
+    with pytest.raises(ValueError, match="trained lm"):
+        curate.curate_corpus(docs, max_ppl=10.0)
