@@ -1,0 +1,96 @@
+"""Sequence packing: documents -> fixed-token-budget packs (the last
+stage of a training-data pipeline before tokenized shards are written).
+
+Greedy packing is inherently sequential, so the scalable formulation is
+BUCKET-PARALLEL next-fit: documents hash into ``n_buckets`` independent
+streams (deterministic md5 order within each — reproducible across
+runs/partitionings), and each stream packs greedily via ONE window
+cumulative sum per bucket partition.  Packing quality is within a few
+percent of global next-fit for realistic doc-length distributions, while
+the computation is a single shuffle keyed by bucket plus a
+partition-local window — no driver-side loop, no global ordering.
+
+Next-fit via prefix sums, exactly: within a bucket's deterministic order,
+a document starts a new pack iff the running total would exceed the
+budget; that is equivalent to assigning ``pack = floor(cumsum_before /
+seq_len)`` ONLY for equal-size items, so the real rule is implemented as
+an Arrow-batch scan per bucket (applyInPandas — each bucket's stream is
+one group, linear, state is two integers).
+
+Oversized documents (token count > budget) get a pack of their own and
+are flagged — a packer must surface them, not silently truncate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from geonames_rdf_spark.operators.textstats import token_count
+
+
+def pack_sequences(docs: DataFrame, seq_len: int = 2048,
+                   n_buckets: int = 32, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Assign every document to a pack: (doc_id, n_tokens, bucket,
+    pack_id, oversized).  ``pack_id`` is globally unique
+    (bucket * 2^40 + local pack seq).
+    """
+    import pandas as pd
+
+    sized = docs.select(
+        F.col(id_col),
+        token_count(F.col(text_col)).alias("n_tokens"),
+        F.pmod(F.xxhash64(F.col(id_col).cast("string")),
+               F.lit(n_buckets)).cast("int").alias("bucket"),
+        # deterministic within-bucket order: md5 of the id, not input order
+        F.md5(F.concat(F.lit("pack-"), F.col(id_col).cast("string")))
+        .alias("_ord"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_ord", kind="mergesort").reset_index(drop=True)
+        bucket = int(pdf["bucket"].iloc[0]) if len(pdf) else 0
+        base = bucket << 40
+        pack_ids, oversized = [], []
+        cur_pack, cur_fill = 0, 0
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if n > seq_len:
+                # oversized doc: its own pack, stream continues after it
+                if cur_fill > 0:
+                    cur_pack += 1
+                pack_ids.append(base + cur_pack)
+                oversized.append(True)
+                cur_pack += 1
+                cur_fill = 0
+                continue
+            if cur_fill + n > seq_len:
+                cur_pack += 1
+                cur_fill = 0
+            pack_ids.append(base + cur_pack)
+            oversized.append(False)
+            cur_fill += n
+        out = pdf[[pdf.columns[0], "n_tokens", "bucket"]].copy()
+        out["pack_id"] = pd.Series(pack_ids, dtype="int64")
+        out["oversized"] = pd.Series(oversized, dtype="bool")
+        return out
+
+    return (
+        sized.groupBy("bucket")
+        .applyInPandas(pack, schema=f"{id_col} bigint, n_tokens int,"
+                                    " bucket int, pack_id bigint,"
+                                    " oversized boolean")
+    )
+
+
+def pack_stats(packed: DataFrame, seq_len: int = 2048) -> DataFrame:
+    """Per-pack totals + fill ratio (the packing-efficiency audit)."""
+    return (
+        packed.groupBy("pack_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_tokens").alias("total_tokens"),
+             F.max(F.col("oversized").cast("int")).cast("boolean")
+             .alias("has_oversized"))
+        .withColumn("fill", F.round(F.col("total_tokens") / seq_len, 4))
+    )

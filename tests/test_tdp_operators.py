@@ -608,3 +608,41 @@ def test_curate_corpus_full_gate_stack(docs, spark):
 
     with pytest.raises(ValueError, match="trained lm"):
         curate.curate_corpus(docs, max_ppl=10.0)
+
+
+def test_pack_sequences_budget_and_coverage(docs, spark):
+    """Every doc lands in exactly one pack; no pack exceeds the token
+    budget unless it holds a single oversized doc (flagged); packing is
+    deterministic and independent of input partitioning."""
+    from geonames_rdf_spark.operators import packing
+
+    seq_len = 256
+    packed = packing.pack_sequences(docs, seq_len=seq_len, n_buckets=8)
+    assert packed.count() == docs.count()  # exactly-once coverage
+    assert packed.select("doc_id").distinct().count() == docs.count()
+
+    stats = packing.pack_stats(packed, seq_len=seq_len).collect()
+    for r in stats:
+        if not r["has_oversized"]:
+            assert r["total_tokens"] <= seq_len, r
+        else:
+            assert r["n_docs"] == 1  # oversized docs pack alone
+    # efficiency sanity: mean fill of non-oversized multi-doc packs > 50%
+    fills = [r["fill"] for r in stats if not r["has_oversized"]]
+    assert sum(fills) / len(fills) > 0.5
+
+    # determinism under different input partitioning
+    again = packing.pack_sequences(docs.repartition(13), seq_len=seq_len,
+                                   n_buckets=8)
+    a = {r["doc_id"]: r["pack_id"] for r in packed.collect()}
+    b = {r["doc_id"]: r["pack_id"] for r in again.collect()}
+    assert a == b
+
+    # oversized flagging: one giant doc
+    giant = spark.createDataFrame(
+        [(1, "w " * 500), (2, "small doc"), (3, "another small doc")],
+        "doc_id bigint, text string")
+    g = packing.pack_sequences(giant, seq_len=64, n_buckets=2)
+    rows = {r["doc_id"]: r for r in g.collect()}
+    assert rows[1]["oversized"]
+    assert not rows[2]["oversized"] and not rows[3]["oversized"]
