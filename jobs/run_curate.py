@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""spark-submit entry point: corpus curation + packing job.
+
+    spark-submit --master local[32] --py-files pipeline.zip jobs/run_curate.py \
+        --docs /root/testdata/sf0.01/documents.parquet --out /tmp/curated \
+        --min-quality 0.4 --max-dup-line-frac 0.3 --max-top-bigram-share 0.2 \
+        --benchmark /path/to/eval_docs.parquet --max-ppl 10000 --seq-len 2048
+
+Pipeline (one lazy plan + one packing pass): exact dedup -> quality gate
+-> optional decontamination / repetition caps / LM-perplexity cap ->
+stratified sampling -> sequence packing.  Writes:
+  <out>/curated/   (doc_id, source, lang, quality)
+  <out>/packs/     (doc_id, n_tokens, bucket, pack_id, oversized)
+and prints ONE JSON metrics line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", required=True,
+                    help="documents parquet (doc_id, text, source, lang)")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--min-quality", type=float, default=0.4)
+    ap.add_argument("--benchmark", default=None,
+                    help="eval-set parquet for decontamination (doc_id, text)")
+    ap.add_argument("--decontam-ngram", type=int, default=13)
+    ap.add_argument("--max-dup-line-frac", type=float, default=None)
+    ap.add_argument("--max-top-bigram-share", type=float, default=None)
+    ap.add_argument("--max-ppl", type=float, default=None,
+                    help="char-LM perplexity cap (LM trained on the corpus)")
+    ap.add_argument("--lm-order", type=int, default=3)
+    ap.add_argument("--seq-len", type=int, default=2048)
+    ap.add_argument("--pack-buckets", type=int, default=32)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from geonames_rdf_spark.operators import curate, packing, textstats
+
+    spark = SparkSession.builder.appName("curate").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    docs = spark.read.parquet(args.docs)
+    bench = spark.read.parquet(args.benchmark) if args.benchmark else None
+    lm = (textstats.train_char_lm(docs, n=args.lm_order)
+          if args.max_ppl is not None else None)
+
+    curated = curate.curate_corpus(
+        docs, min_quality=args.min_quality,
+        decontam_benchmark=bench, decontam_ngram=args.decontam_ngram,
+        max_dup_line_frac=args.max_dup_line_frac,
+        max_top_bigram_share=args.max_top_bigram_share,
+        lm=lm, max_ppl=args.max_ppl)
+    curated.write.mode("overwrite").parquet(f"{args.out}/curated")
+    curated = spark.read.parquet(f"{args.out}/curated")
+
+    kept_docs = docs.join(curated.select("doc_id"), "doc_id", "left_semi")
+    packed = packing.pack_sequences(kept_docs, seq_len=args.seq_len,
+                                    n_buckets=args.pack_buckets)
+    packed.write.mode("overwrite").parquet(f"{args.out}/packs")
+    packed = spark.read.parquet(f"{args.out}/packs")
+    stats = packing.pack_stats(packed, seq_len=args.seq_len)
+    agg = stats.agg(
+        F.count(F.lit(1)).alias("n_packs"),
+        F.round(F.avg("fill"), 4).alias("mean_fill"),
+        F.sum(F.col("has_oversized").cast("int")).alias("oversized_packs"),
+    ).collect()[0]
+    print(json.dumps({
+        "input_docs": docs.count(),
+        "curated_docs": curated.count(),
+        "n_packs": agg["n_packs"],
+        "mean_fill": agg["mean_fill"],
+        "oversized_packs": agg["oversized_packs"],
+        "seq_len": args.seq_len,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
