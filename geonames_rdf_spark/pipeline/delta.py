@@ -73,7 +73,8 @@ def read_triple_store(spark: SparkSession, path: str) -> DataFrame:
 
 def update_triple_store(spark: SparkSession, path: str,
                         changelog: DataFrame, new_triples: DataFrame,
-                        n_buckets: int = 64, concurrency: int = 1) -> dict:
+                        n_buckets: int = 64, concurrency: int = 1,
+                        full_rewrite_threshold: float = 0.5) -> dict:
     """Apply a dump refresh to a bucketed store, rewriting ONLY the
     buckets that contain changed subjects.  Returns
     ``{"buckets_rewritten": k, "n_buckets": n, "adds": a, "dels": d}``.
@@ -106,6 +107,19 @@ def update_triple_store(spark: SparkSession, path: str,
                       .localCheckpoint(eager=True))
     buckets = sorted(r["bucket"] for r in
                      affected_keyed.select("bucket").distinct().collect())
+
+    # CUTOVER (measured, BENCH.md): per-bucket jobs pay fixed scheduling
+    # cost each; once most buckets are touched — a broad-but-shallow
+    # change spreads changed subjects over every bucket fast (coupon
+    # collector) — ONE full partitioned write beats N small jobs.  The
+    # delta path is for NARROW updates; this mirrors Iceberg's
+    # copy-on-write-vs-merge decision.
+    if len(buckets) >= full_rewrite_threshold * n_buckets:
+        write_triple_store(spark, new_triples, path, n_buckets=n_buckets)
+        return {"buckets_rewritten": n_buckets, "n_buckets": n_buckets,
+                "mode": "full_rewrite",
+                "adds": int(counts.get("add", 0)),
+                "dels": int(counts.get("del", 0))}
 
     def do_bucket(b: int) -> None:
         src = f"{path}/bucket={b}"
@@ -141,5 +155,6 @@ def update_triple_store(spark: SparkSession, path: str,
             for fut in [pool.submit(do_bucket, b) for b in buckets]:
                 fut.result()
     return {"buckets_rewritten": len(buckets), "n_buckets": n_buckets,
+            "mode": "delta",
             "adds": int(counts.get("add", 0)),
             "dels": int(counts.get("del", 0))}

@@ -79,7 +79,9 @@ def test_delta_store_update_touches_only_affected_buckets(spark, worlds,
               for d in glob.glob(f"{store}/bucket=*")}
 
     stats = delta.update_triple_store(spark, store, log, new,
-                                      n_buckets=N_BUCKETS)
+                                      n_buckets=N_BUCKETS,
+                                      full_rewrite_threshold=1.1)
+    assert stats["mode"] == "delta"
     assert 0 < stats["buckets_rewritten"] < N_BUCKETS  # a DELTA, not a rewrite
     assert stats["adds"] > 0 and stats["dels"] > 0
 
@@ -96,7 +98,17 @@ def test_delta_store_update_touches_only_affected_buckets(spark, worlds,
     # (the crash-recovery path — some buckets swapped, some not) converges
     # to the same store; run the retry CONCURRENTLY to cover that path too
     delta.update_triple_store(spark, store, log, new, n_buckets=N_BUCKETS,
-                              concurrency=8)
+                              concurrency=8, full_rewrite_threshold=1.1)
     again = delta.read_triple_store(spark, store)
     assert again.exceptAll(new).count() == 0
     assert new.exceptAll(again).count() == 0
+
+    # AUTO-CUTOVER: when changed subjects touch most buckets, one full
+    # partitioned write replaces N small jobs (measured faster, BENCH.md)
+    stats2 = delta.update_triple_store(spark, store, log, new,
+                                       n_buckets=N_BUCKETS,
+                                       full_rewrite_threshold=0.0)
+    assert stats2["mode"] == "full_rewrite"
+    full = delta.read_triple_store(spark, store)
+    assert full.exceptAll(new).count() == 0
+    assert new.exceptAll(full).count() == 0
