@@ -40,7 +40,9 @@ def pack_sequences(docs: DataFrame, seq_len: int = 2048,
 
     sized = docs.select(
         F.col(id_col),
-        token_count(F.col(text_col)).alias("n_tokens"),
+        # belt-and-braces: token_count contracts 0 for NULL, but a NULL
+        # count would crash the int loop below, so pin it here too
+        F.coalesce(token_count(F.col(text_col)), F.lit(0)).alias("n_tokens"),
         F.pmod(F.xxhash64(F.col(id_col).cast("string")),
                F.lit(n_buckets)).cast("int").alias("bucket"),
         # deterministic within-bucket order: md5 of the id, not input order

@@ -20,8 +20,10 @@ LANG_MARKERS = {
 
 
 def token_count(text: Column) -> Column:
-    """Whitespace token count, 0 for empty/NULL-ish text."""
-    t = F.trim(text)
+    """Whitespace token count, 0 for empty AND NULL text (r04 fix: NULL
+    used to propagate — contradicting this contract — and a NULL count
+    crashed downstream integer consumers like the sequence packer)."""
+    t = F.trim(F.coalesce(text, F.lit("")))
     return F.when(F.length(t) == 0, F.lit(0)).otherwise(
         F.size(F.split(t, r"\s+"))
     )

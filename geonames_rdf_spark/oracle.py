@@ -568,7 +568,7 @@ def _occ(expr: str, needle: str) -> str:
 
 def tdp_sql() -> dict[str, str]:
     """DuckDB twins for the oracle-checkable training-data operators."""
-    tok = ("CAST(CASE WHEN length(trim(text)) = 0 THEN 0 "
+    tok = ("CAST(CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0 "
            "ELSE len(string_split_regex(trim(text), '\\s+')) END AS INT)")
     strip = lambda pat: (  # noqa: E731
         f"length(text) - length(regexp_replace(text, '{pat}', '', 'g'))"
