@@ -646,3 +646,35 @@ def test_pack_sequences_budget_and_coverage(docs, spark):
     rows = {r["doc_id"]: r for r in g.collect()}
     assert rows[1]["oversized"]
     assert not rows[2]["oversized"] and not rows[3]["oversized"]
+
+
+def test_operators_survive_pathological_corpus(spark):
+    """NULL text, empty text, whitespace-only, NULL source/lang, unicode,
+    and a 5k-char single token must not crash ANY curation operator, and
+    per-doc operators must keep one row per doc (a corpus-scale pass
+    cannot die, or silently drop rows, on one bad record)."""
+    from geonames_rdf_spark.operators import curate, packing, sampling
+
+    d = spark.createDataFrame(
+        [(1, None, "src1", "en"), (2, "", "src1", "de"),
+         (3, "   \n\t  ", None, None), (4, "ünïcødé tæxt 漢字 here", "src2", "zh"),
+         (5, "x" * 5000, "src1", "en"), (6, "normal text here", "src1", "en")],
+        "doc_id bigint, text string, source string, lang string")
+    n = d.count()
+    per_doc = [
+        textstats.quality_features(d), textstats.quality_score(d),
+        textstats.lang_id(d), textstats.fingerprint(d),
+        textstats.rolling_fingerprint(d), textstats.lang_stopword_ratio(d),
+        textstats.oov_rate(d, top_k=3), textstats.repetition_stats(d),
+        textstats.lm_perplexity(d, textstats.train_char_lm(d)),
+        packing.pack_sequences(d, seq_len=16),
+        dedup.decontaminate(d, d.limit(1), n=3),
+    ]
+    for out in per_doc:
+        assert out.count() == n, out.columns
+    # corpus-level ops just must not crash
+    assert dedup.exact_dedup(d).count() > 0
+    dedup.minhash_near_dups(d, threshold=0.5).count()
+    dedup.simhash_near_dups(d, max_hamming=3).count()
+    sampling.sample_stratified(d, {"src1": 0.5}, default_rate=1.0).count()
+    curate.curate_corpus(d, min_quality=0.0).count()
