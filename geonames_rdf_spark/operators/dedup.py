@@ -504,9 +504,13 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 13,
             F.explode(word_ngram_expr(F.col(bench_text_col), n)).alias("g"))
         .select(F.xxhash64("g").alias("gh")).distinct()
     )
+    # plain explode (no _outer): a doc with zero n-grams contributes no
+    # rows — xxhash64(NULL) would otherwise map every gramless doc to one
+    # constant hash that a pathological benchmark gram could collide with;
+    # the left join below still returns every doc with a zero count
     doc_grams = docs.select(
         F.col(id_col),
-        F.explode_outer(word_ngram_expr(F.col(text_col), n)).alias("g"),
+        F.explode(word_ngram_expr(F.col(text_col), n)).alias("g"),
     ).select(id_col, F.xxhash64("g").alias("gh"))
     hits = (
         doc_grams.join(F.broadcast(bench_grams), "gh", "left_semi")
