@@ -156,3 +156,43 @@ def test_versioned_catalog_snapshot_commit(spark, tmp_path):
     assert catalog.expire_snapshots(path, keep=2) == [1]
     assert catalog.table_snapshots(path) == [2, 3]
     assert catalog.read_table_versioned(spark, path).count() == 10
+
+
+def test_warc_roundtrip_and_pipeline_ingest(spark, tmp_path):
+    """Common-Crawl-shaped ingestion: pages written as .warc.gz archives
+    read back byte-identical (url, ts, html), and the fused KG pipeline
+    over the WARC-sourced table emits EXACTLY the links of the parquet
+    path — the format swap is invisible to the engine."""
+    from geonames_rdf_spark.operators import build
+    from geonames_rdf_spark.pipeline import corpus, mentions
+    from geonames_rdf_spark.sources import warc
+
+    tables = build.gazetteer_tables(spark, SF)
+    feats = tables["features"]
+    surfaces = corpus.gazetteer_surfaces(feats)
+    pages = corpus.synthesize_pages(spark, surfaces, 80).repartition(3)
+
+    wdir = str(tmp_path / "warcs")
+    warc.write_warc(pages, wdir)
+    import os
+
+    names = sorted(os.listdir(wdir))
+    assert names and all(n.endswith(".warc.gz") for n in names)
+
+    back = warc.read_warc(spark, f"{wdir}/*.warc.gz")
+    assert back.count() == pages.count()
+    # byte-identity of html + timestamp survival, keyed by url
+    orig = {r["url"]: (bytes(r["html"]), r["warc_ts"])
+            for r in pages.select("url", "html", "warc_ts").collect()}
+    for r in back.collect():
+        oh, ots = orig[r["url"]]
+        assert bytes(r["html"]) == oh
+        assert abs((r["warc_ts"] - ots).total_seconds()) < 1  # s precision
+
+    # pipeline ingest: WARC source + lang joined from crawl metadata
+    smap = mentions.build_scored_surface_map(feats)
+    warc_pages = back.join(pages.select("url", "lang"), "url")
+    a = mentions.detect_and_link(warc_pages, smap, from_html=True)
+    b = mentions.detect_and_link(pages, smap, from_html=True)
+    assert a.count() == b.count() > 0
+    assert a.exceptAll(b).count() == 0
