@@ -41,7 +41,8 @@ def curate_corpus(docs: DataFrame, min_quality: float = 0.4,
                   max_dup_line_frac: float | None = None,
                   max_top_bigram_share: float | None = None,
                   lm: dict | None = None,
-                  max_ppl: float | None = None) -> DataFrame:
+                  max_ppl: float | None = None,
+                  drop_unmeasurable: bool = False) -> DataFrame:
     """(doc_id, source, lang, quality) for the curated subset."""
     if id_col != "doc_id":
         # textstats.quality_score keys its output on doc_id; renaming
@@ -73,8 +74,14 @@ def curate_corpus(docs: DataFrame, min_quality: float = 0.4,
             keep = keep & (F.col("top_bigram_share") <= max_top_bigram_share)
         d = d.join(rep.filter(keep).select(id_col), id_col, "left_semi")
     if max_ppl is not None:
+        # NULL ppl means "too short to measure" per lm_perplexity's
+        # contract — NOT "bad".  Keep unmeasurable docs unless the caller
+        # explicitly opts into dropping them.
+        keep_ppl = F.col("ppl").isNull() | (F.col("ppl") <= max_ppl)
+        if drop_unmeasurable:
+            keep_ppl = F.col("ppl").isNotNull() & (F.col("ppl") <= max_ppl)
         ok = (textstats.lm_perplexity(d, lm, text_col)
-              .filter(F.col("ppl").isNotNull() & (F.col("ppl") <= max_ppl))
+              .filter(keep_ppl)
               .select(id_col))
         d = d.join(ok, id_col, "left_semi")
     if rates:

@@ -126,8 +126,21 @@ def _guard_oversized_buckets(keyed: DataFrame, key_cols: list[str],
     raise ValueError(f"oversize mode must be 'drop' or 'split', got {mode!r}")
 
 
+DEFAULT_MAX_BUCKET = 100_000
+"""Default per-bucket cardinality cap for the LSH self-joins.  Finite BY
+DEFAULT: an unguarded band bucket turns quadratic the moment one
+boilerplate cluster floods it (10^6 docs in one bucket = 10^12 candidate
+pairs), and a default of ``None`` means every caller that forgets the
+knob ships the pathological path.  100k keeps worst-case within-bucket
+work at ~10^10 comparisons per oversized group under ``oversize='split'``
+— bounded, loud (observe() telemetry), and far above any non-pathological
+bucket.  Pass ``max_bucket=None`` to explicitly opt back into exact,
+unguarded LSH semantics."""
+
+
 def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16,
-                        n_hashes: int = 64, max_bucket: int | None = None,
+                        n_hashes: int = 64,
+                        max_bucket: int | None = DEFAULT_MAX_BUCKET,
                         oversize: str = "split",
                         guard_observation=None) -> DataFrame:
     """Band the signatures, bucket-join, emit candidate (id_a < id_b) pairs.
@@ -199,33 +212,88 @@ def minhash_similarity(sigs: DataFrame, pairs: DataFrame) -> DataFrame:
     )
 
 
+def collapse_identical_signatures(
+        sigs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Exact-signature pre-collapse for the MinHash pipeline.
+
+    Returns ``(members, vsigs)``: ``members`` is the input plus a ``vid``
+    column (min member id per distinct signature — the group
+    representative), ``vsigs`` is one ``(id, sig)`` row per DISTINCT
+    signature.  One shuffle keyed by the full signature array
+    (``array<bigint>`` is a valid Spark grouping key, so no lossy hash of
+    the signature is involved).  Banding/LSH then runs over ``vsigs``
+    only — a flood of literal duplicates contributes ONE row to the
+    candidate join instead of n quadratic ones."""
+    from pyspark.sql import Window
+
+    m = sigs.withColumn(
+        "vid", F.min("id").over(Window.partitionBy("sig"))
+    ).localCheckpoint(eager=False)
+    vsigs = (m.filter(F.col("id") == F.col("vid"))
+             .select("id", "sig"))
+    return m, vsigs
+
+
 def minhash_near_dups(docs: DataFrame, threshold: float = 0.6,
                       text_col: str = "text", id_col: str = "doc_id",
                       k: int = 3, n_hashes: int = 64,
-                      bands: int = 16, max_bucket: int | None = None,
+                      bands: int = 16,
+                      max_bucket: int | None = DEFAULT_MAX_BUCKET,
                       oversize: str = "split",
                       guard_observation=None) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: (id_a, id_b, est_jaccard).
 
-    The signature table feeds three consumers (banding + both sides of
-    the similarity verify join) — ``localCheckpoint`` materializes the
-    mapInPandas shingling stage once and, unlike ``persist()``, its
-    blocks are released by the ContextCleaner when the DataFrame becomes
-    unreachable (a plain persist here would leak one cached table into
-    the session per call).
+    Scale shape (mirrors ``simhash_near_dups`` — the two defenses a
+    10^9+-doc corpus needs):
 
-    ``max_bucket`` arms the per-bucket cardinality guard
-    (``_guard_oversized_buckets``) so one boilerplate cluster cannot make
-    a band bucket quadratic; None (default) keeps exact LSH semantics.
+    1. **exact-signature pre-collapse** — documents are first grouped by
+       their full signature ARRAY (one shuffle keyed by sig); banding and
+       the bucket self-join run over DISTINCT signatures only, so a flood
+       of literal duplicates (the most common web pathology: 10^6 copies
+       of a template page share every band bucket) contributes ONE row to
+       the LSH join instead of n quadratic ones.  Member pairs are
+       expanded back afterwards: within-group pairs have est_jaccard 1.0
+       by construction (all positions agree), cross-group pairs inherit
+       the representative similarity.  Output is IDENTICAL to the
+       uncollapsed pipeline — banding is a pure function of the
+       signature, so two docs are candidates iff their signature values
+       are — only the work shape changes.
+    2. **finite default bucket guard** — ``max_bucket`` defaults to
+       ``DEFAULT_MAX_BUCKET`` (see there), bounding residual hot buckets
+       of NEAR-but-distinct signatures.  ``None`` opts out.
+
+    The signature table feeds multiple consumers — ``localCheckpoint``
+    materializes the mapInPandas shingling stage once and, unlike
+    ``persist()``, its blocks are released by the ContextCleaner when the
+    DataFrame becomes unreachable.
     """
     sigs = minhash_signatures(docs, text_col, id_col, k,
                               n_hashes).localCheckpoint(eager=False)
-    pairs = lsh_candidate_pairs(sigs, bands, n_hashes=n_hashes,
-                                max_bucket=max_bucket, oversize=oversize,
-                                guard_observation=guard_observation)
-    return minhash_similarity(sigs, pairs).filter(
-        F.col("est_jaccard") >= threshold
+    m, vsigs = collapse_identical_signatures(sigs)
+    vpairs = lsh_candidate_pairs(vsigs, bands, n_hashes=n_hashes,
+                                 max_bucket=max_bucket, oversize=oversize,
+                                 guard_observation=guard_observation)
+    vsim = (minhash_similarity(vsigs, vpairs)
+            .filter(F.col("est_jaccard") >= threshold)
+            .withColumnRenamed("id_a", "vid_a")
+            .withColumnRenamed("id_b", "vid_b"))
+    ma = m.select(F.col("id").alias("ia"), F.col("vid").alias("vid_a"))
+    mb = m.select(F.col("id").alias("ib"), F.col("vid").alias("vid_b"))
+    cross = (
+        vsim.join(ma, "vid_a").join(mb, "vid_b")
+        .select(F.least("ia", "ib").alias("id_a"),
+                F.greatest("ia", "ib").alias("id_b"), "est_jaccard")
     )
+    within = (
+        m.select(F.col("id").alias("ia"), "vid")
+        .join(m.select(F.col("id").alias("ib"), "vid"), "vid")
+        .filter(F.col("ia") < F.col("ib"))
+        .select(F.col("ia").alias("id_a"), F.col("ib").alias("id_b"),
+                F.lit(1.0).alias("est_jaccard"))
+    )
+    if threshold > 1.0:  # degenerate but keep the filter semantics exact
+        within = within.filter(F.lit(False))
+    return cross.unionByName(within)
 
 
 def simhash_signatures(docs: DataFrame, text_col: str = "text",
@@ -427,7 +495,7 @@ def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95,
                         id_col: str = "vec_id",
                         planes: int = 16,
                         dim: int | None = None,
-                        max_bucket: int | None = None,
+                        max_bucket: int | None = DEFAULT_MAX_BUCKET,
                         oversize: str = "split",
                         guard_observation=None) -> DataFrame:
     """Embedding-cosine near-dup via hyperplane-LSH candidates + exact

@@ -123,6 +123,16 @@ def update_triple_store(spark: SparkSession, path: str,
 
     def do_bucket(b: int) -> None:
         src = f"{path}/bucket={b}"
+        # CRASH RECOVERY: a previous run may have died between
+        # os.rename(src, backup) and os.rename(staged, src), leaving the
+        # bucket dir missing while its full prior state sits in the
+        # backup.  Without this restore the re-run would take the
+        # "brand-new bucket" branch and silently drop every UNAFFECTED
+        # subject's triples in this bucket.  Restore first, then the
+        # normal idempotent replace applies.
+        backup = f"{path}/_prev_bucket={b}"
+        if not os.path.isdir(src) and os.path.isdir(backup):
+            os.rename(backup, src)
         subj_b = F.broadcast(
             affected_keyed.filter(F.col("bucket") == b).select("subj"))
         state_b = state.filter(F.col("bucket") == b).drop("bucket")
@@ -136,7 +146,6 @@ def update_triple_store(spark: SparkSession, path: str,
         staged = tempfile.mkdtemp(prefix=f"_delta_b{b}_",
                                   dir=os.path.dirname(src))
         new_b.write.mode("overwrite").parquet(staged)
-        backup = f"{path}/_prev_bucket={b}"
         shutil.rmtree(backup, ignore_errors=True)
         if os.path.isdir(src):
             os.rename(src, backup)

@@ -121,11 +121,29 @@ def write_table_versioned(
     if partition_cols:
         w = w.partitionBy(*partition_cols)
     w.parquet(vdir)
-    fd, tmp = tempfile.mkstemp(dir=path, prefix="_ptr_")
-    with os.fdopen(fd, "w") as f:
-        json.dump({"version": v}, f)
-    os.replace(tmp, os.path.join(path, _PTR))
+    _commit_pointer(path, v)
     return v
+
+
+def _commit_pointer(path: str, v: int) -> None:
+    """MONOTONIC pointer swap: the mkdir claim serializes version
+    NUMBERS, not commit ORDER.  If the writer holding v=N+1 commits
+    first, a later os.replace from the v=N writer must not move the
+    pointer backwards (that would silently discard the newer snapshot
+    from "current").  Re-check under a brief retry loop: losing the race
+    is fine — the older snapshot stays readable via time travel."""
+    for _ in range(3):
+        cur = current_snapshot(path)
+        if cur is not None and cur >= v:
+            return  # a newer (or same) snapshot already won "current"
+        fd, tmp = tempfile.mkstemp(dir=path, prefix="_ptr_")
+        with os.fdopen(fd, "w") as f:
+            json.dump({"version": v}, f)
+        os.replace(tmp, os.path.join(path, _PTR))
+        # re-read: if a concurrent older writer overwrote us between the
+        # check and the replace, loop and restore monotonicity
+        if (current_snapshot(path) or 0) >= v:
+            return
 
 
 def read_table_versioned(spark: SparkSession, path: str,

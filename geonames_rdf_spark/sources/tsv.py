@@ -103,11 +103,24 @@ def read_tsv_zip(spark: SparkSession, path: str, schema: T.StructType,
     array limit, failing loudly rather than truncating.
     """
     import io
+    import re
     import zipfile
 
     import pandas as pd
 
     bins = spark.read.format("binaryFile").load(path).select("content")
+
+    # Split EXACTLY like the JVM text/CSV line reader: \r\n, \r, or \n
+    # only.  str.splitlines() would also split on \x0b \x0c \x1c-\x1e
+    # \x85 \u2028 \u2029 — characters Spark treats as field DATA — and
+    # silently produce different rows than read_tsv on the plain file.
+    _line_re = re.compile("\r\n|\r|\n")
+
+    def _jvm_splitlines(text: str) -> list[str]:
+        lines = _line_re.split(text)
+        if lines and lines[-1] == "":  # trailing terminator, not a row
+            lines.pop()
+        return lines
 
     def unzip(batches):
         for pdf in batches:
@@ -118,7 +131,7 @@ def read_tsv_zip(spark: SparkSession, path: str, schema: T.StructType,
                             continue  # directory entry
                         if member_suffix and not m.endswith(member_suffix):
                             continue
-                        lines = zf.read(m).decode(encoding).splitlines()
+                        lines = _jvm_splitlines(zf.read(m).decode(encoding))
                         if header:
                             lines = lines[1:]
                         yield pd.DataFrame({"line": lines})

@@ -315,6 +315,14 @@ def compact_stream_kg(spark: SparkSession, out_dir: str) -> None:
     import tempfile
 
     src = f"{out_dir}/triples"
+    old = f"{out_dir}/_triples_precompact"
+    # CRASH RECOVERY (mirrors pipeline/delta.py): a previous compaction
+    # may have died between os.rename(src, old) and os.rename(staged,
+    # src), leaving the triples dir absent — which would fail every
+    # reader and this compactor with FileNotFound while the data sits
+    # only in the precompact backup.  Restore it before proceeding.
+    if not os.path.isdir(src) and os.path.isdir(old):
+        os.rename(old, src)
     staged = tempfile.mkdtemp(prefix="kg_compact_",
                               dir=os.path.dirname(src) or ".")
     (spark.read.parquet(src)
@@ -324,7 +332,6 @@ def compact_stream_kg(spark: SparkSession, out_dir: str) -> None:
      .withColumn("epoch", F.lit(0))
      .write.mode("overwrite").partitionBy("epoch", "bucket")
      .parquet(staged))
-    old = f"{out_dir}/_triples_precompact"
     shutil.rmtree(old, ignore_errors=True)
     os.rename(src, old)
     os.rename(staged, src)

@@ -1,0 +1,207 @@
+"""Round-5 hardening: MinHash exact-signature pre-collapse + default
+LSH guards, crash-window recovery in the delta store and stream
+compactor, NULL-ppl gate semantics, catalog pointer monotonicity, and
+JVM-faithful zip line splitting (VERDICT r04 "What's wrong" #1 and every
+ADVICE r04 item)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from geonames_rdf_spark.operators import dedup
+
+
+def test_minhash_exact_collapse_pairs(spark):
+    """A flood of literal duplicates must come back as all-pairs with
+    est_jaccard 1.0 (same OUTPUT as unconsolidated LSH — identical
+    signatures always share every band bucket), while near-dups across
+    groups keep their representative similarity."""
+    rows = [(i, "the quick brown fox jumps over the lazy dog again and again")
+            for i in range(120)]
+    rows += [(1000, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+             (1001, "alpha beta gamma delta epsilon zeta eta theta iota lambda")]
+    rows += [(2000 + i, f"unique document number {i} with words {i * 7} here")
+             for i in range(10)]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = dedup.minhash_near_dups(d, threshold=0.5).collect()
+    flood = [r for r in out if r.id_a < 120 and r.id_b < 120]
+    assert len(flood) == 120 * 119 // 2
+    assert all(abs(r.est_jaccard - 1.0) < 1e-9 for r in flood)
+    near = [r for r in out if r.id_a == 1000 and r.id_b == 1001]
+    assert len(near) == 1 and near[0].est_jaccard >= 0.5
+
+
+def test_minhash_flood_candidate_stage_stays_linear(spark):
+    """PATHOLOGICAL: 10^5 documents with the IDENTICAL signature (one
+    boilerplate cluster).  Pre-collapse must reduce the LSH candidate
+    stage to ONE distinct signature — the unguarded/uncollapsed path
+    would band 10^5 copies into every bucket and try ~5*10^9 candidate
+    pairs.  The pair EXPANSION is output-bound (emitting all pairs is the
+    caller's contract); the quadratic work this test pins is the
+    candidate JOIN, which must see distinct signatures only."""
+    n = 100_000
+    sig = [7 * i + 3 for i in range(64)]  # one arbitrary 64-hash signature
+    other = [11 * i + 5 for i in range(64)]
+    flood = spark.range(n).select(
+        F.col("id"), F.lit(sig).cast("array<bigint>").alias("sig"))
+    extra = spark.createDataFrame([(n + 1, other)],
+                                  "id bigint, sig array<bigint>")
+    sigs = flood.unionByName(extra)
+    m, vsigs = dedup.collapse_identical_signatures(sigs)
+    assert vsigs.count() == 2  # 10^5 + 1 rows -> 2 distinct signatures
+    # candidate stage over the collapsed table: finishes instantly and
+    # finds no cross-signature candidates (the two sigs share no band)
+    pairs = dedup.lsh_candidate_pairs(vsigs)
+    assert pairs.count() == 0
+    # membership map covers every doc for the later expansion
+    assert m.count() == n + 1
+
+
+def test_lsh_guards_default_on():
+    """The bucket-cardinality guards must be armed BY DEFAULT — an
+    unguarded default ships the quadratic path to every caller that
+    forgets the knob (VERDICT r04 #1)."""
+    import inspect
+
+    for fn in (dedup.lsh_candidate_pairs, dedup.minhash_near_dups,
+               dedup.embedding_near_dups):
+        default = inspect.signature(fn).parameters["max_bucket"].default
+        assert default == dedup.DEFAULT_MAX_BUCKET, fn.__name__
+    assert isinstance(dedup.DEFAULT_MAX_BUCKET, int)
+
+
+def test_delta_bucket_crash_recovery(spark, tmp_path):
+    """A crash between os.rename(src, backup) and os.rename(staged, src)
+    leaves the bucket dir missing with its prior state in the backup; the
+    re-run must restore the backup first — NOT take the 'brand-new
+    bucket' branch, which would drop every unaffected subject's triples
+    in that bucket."""
+    from geonames_rdf_spark.pipeline import delta
+
+    n_buckets = 4  # few buckets -> changed + unchanged subjects share one
+    cols = "subj string, pred string, obj string, obj_is_iri boolean, " \
+           "obj_lang string, obj_dt string"
+    old = spark.createDataFrame(
+        [(f"s{i}", "p", f"v{i}", False, None, None) for i in range(40)], cols)
+    new = spark.createDataFrame(
+        [(f"s{i}", "p", "CHANGED" if i == 0 else f"v{i}", False, None, None)
+         for i in range(40)], cols)
+    store = str(tmp_path / "store")
+    delta.write_triple_store(spark, old, store, n_buckets=n_buckets)
+    log = delta.triple_changelog(old, new)
+
+    # which bucket holds the changed subject s0?
+    b = spark.createDataFrame([("s0",)], "subj string").select(
+        F.pmod(F.xxhash64("subj"), F.lit(n_buckets)).cast("int").alias("b")
+    ).first()["b"]
+    src, backup = f"{store}/bucket={b}", f"{store}/_prev_bucket={b}"
+    # simulate the mid-swap crash state
+    os.rename(src, backup)
+    assert not os.path.isdir(src) and os.path.isdir(backup)
+
+    delta.update_triple_store(spark, store, log, new, n_buckets=n_buckets,
+                              full_rewrite_threshold=1.1)
+    got = delta.read_triple_store(spark, store)
+    assert got.exceptAll(new).count() == 0
+    assert new.exceptAll(got).count() == 0  # unaffected subjects intact
+    assert not os.path.isdir(backup)
+
+
+def test_stream_compact_crash_recovery(spark, tmp_path):
+    """Same two-rename window in the stream compactor: if a prior
+    compaction died after moving triples -> _triples_precompact, the next
+    run must restore the backup instead of failing FileNotFound."""
+    from geonames_rdf_spark.streaming import events
+
+    out_dir = str(tmp_path / "kg")
+    triples = spark.createDataFrame(
+        [(f"s{i}", "p", f"v{i}", False, None, None, 0, i % 4)
+         for i in range(20)],
+        "subj string, pred string, obj string, obj_is_iri boolean, "
+        "obj_lang string, obj_dt string, epoch int, bucket int")
+    (triples.write.mode("overwrite").partitionBy("epoch", "bucket")
+     .parquet(f"{out_dir}/triples"))
+    # simulate the crash: triples dir gone, data only in the backup
+    os.rename(f"{out_dir}/triples", f"{out_dir}/_triples_precompact")
+
+    events.compact_stream_kg(spark, out_dir)
+    got = events.read_stream_kg(spark, out_dir)
+    assert got.count() == 20
+    assert not os.path.isdir(f"{out_dir}/_triples_precompact")
+
+
+def test_curate_keeps_unmeasurable_ppl_docs(spark):
+    """NULL ppl means 'too short to measure', not 'bad': the perplexity
+    cap must keep NULL-ppl docs by default and drop them only under the
+    explicit drop_unmeasurable flag (ADVICE r04)."""
+    from geonames_rdf_spark.operators import curate, textstats
+
+    rows = [(i, "web", "en",
+             f"a perfectly ordinary training sentence number {i} "
+             "with enough length to be measurable and reasonable")
+            for i in range(10)]
+    rows.append((99, "web", "en", "ab"))  # shorter than the LM order
+    d = spark.createDataFrame(rows, "doc_id bigint, source string, "
+                                    "lang string, text string")
+    lm = textstats.train_char_lm(d, n=3)
+    ppl = {r["doc_id"]: r["ppl"]
+           for r in textstats.lm_perplexity(d, lm).collect()}
+    assert ppl[99] is None  # precondition: genuinely unmeasurable
+    cap = max(v for v in ppl.values() if v is not None) + 1
+
+    kept = curate.curate_corpus(d, min_quality=0.0, lm=lm,
+                                max_ppl=cap)
+    ids = {r["doc_id"] for r in kept.collect()}
+    assert 99 in ids  # unmeasurable survives by default
+
+    dropped = curate.curate_corpus(d, min_quality=0.0, lm=lm,
+                                   max_ppl=cap, drop_unmeasurable=True)
+    ids2 = {r["doc_id"] for r in dropped.collect()}
+    assert 99 not in ids2 and ids - ids2 == {99}
+
+
+def test_catalog_pointer_monotonic(spark, tmp_path):
+    """A late commit from the writer holding an OLDER version number must
+    not move _CURRENT backwards past a newer committed snapshot (the
+    mkdir claim serializes numbers, not commit order — ADVICE r04)."""
+    from geonames_rdf_spark.sources import catalog
+
+    path = str(tmp_path / "tbl")
+    df = spark.range(5)
+    v1 = catalog.write_table_versioned(df, path)
+    v2 = catalog.write_table_versioned(df, path)
+    assert (v1, v2) == (1, 2)
+    assert catalog.current_snapshot(path) == 2
+    # replay the slow writer's pointer swap for the older version
+    catalog._commit_pointer(path, 1)
+    assert catalog.current_snapshot(path) == 2  # not moved backwards
+    catalog._commit_pointer(path, 3)  # a NEWER commit still advances
+    assert catalog.current_snapshot(path) == 3
+
+
+def test_tsv_zip_exotic_line_separators_match_plain_read(spark, tmp_path):
+    """Fields containing \\x0b \\x0c \\x1c-\\x1e \\x85 \\u2028 \\u2029 are
+    DATA to Spark's line reader; the zip reader must not split on them
+    (str.splitlines() would — ADVICE r04)."""
+    import zipfile
+
+    from pyspark.sql import types as T
+
+    from geonames_rdf_spark.sources import tsv
+
+    schema = T.StructType([T.StructField("id", T.LongType()),
+                           T.StructField("val", T.StringType())])
+    exotic = "foo\x0bbar\x0cbaz\x1c\x1d\x1e\x85q r s"
+    body = f"1\t{exotic}\n2\tplain\n"
+    plain = tmp_path / "plain.tsv"
+    plain.write_text(body, encoding="utf-8")
+    zpath = tmp_path / "dump.zip"
+    with zipfile.ZipFile(zpath, "w") as zf:
+        zf.writestr("member.txt", body)
+
+    a = sorted(tsv.read_tsv(spark, str(plain), schema).collect())
+    b = sorted(tsv.read_tsv_zip(spark, str(zpath), schema).collect())
+    assert a == b
+    assert len(a) == 2 and a[0]["val"] == exotic
