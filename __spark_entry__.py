@@ -224,39 +224,101 @@ def _q_token_counts(spark, sf_dir):
 
 
 def _q_quality(spark, sf_dir):
+    # merged r05 (driver caps at 50 recorded queries): quality features +
+    # composite score + Gopher repetition signals share one row — three
+    # operators, one schema, zero coverage lost
     from geonames_rdf_spark.operators import textstats
 
-    return textstats.quality_features(_docs(spark, sf_dir))
+    d = _docs(spark, sf_dir)
+    return (textstats.quality_features(d)
+            .join(textstats.quality_score(d), "doc_id")
+            .join(textstats.repetition_stats(d), "doc_id"))
 
 
-def _q_quality_score(spark, sf_dir):
+def _q_fingerprints(spark, sf_dir):
+    # merged r05: whole-document + rolling (min-window) fingerprints
     from geonames_rdf_spark.operators import textstats
 
-    return textstats.quality_score(_docs(spark, sf_dir))
+    d = _docs(spark, sf_dir)
+    return textstats.fingerprint(d).join(
+        textstats.rolling_fingerprint(d)
+        .withColumnRenamed("fingerprint", "rolling_fingerprint"),
+        "doc_id")
 
 
-def _q_langid(spark, sf_dir):
+def _q_lang_signals(spark, sf_dir):
+    # merged r05: predicted language + claimed-language stopword evidence
     from geonames_rdf_spark.operators import textstats
 
-    return textstats.lang_id(_docs(spark, sf_dir))
+    d = _docs(spark, sf_dir)
+    li = textstats.lang_id(d).withColumnRenamed(
+        "marker_hits", "pred_marker_hits")
+    ls = textstats.lang_stopword_ratio(d).withColumnRenamed(
+        "marker_hits", "lang_marker_hits")
+    return li.join(ls, "doc_id").select(
+        "doc_id", "lang_pred", "pred_marker_hits",
+        "lang", "lang_marker_hits", "stopword_ratio")
 
 
-def _q_fingerprint(spark, sf_dir):
-    from geonames_rdf_spark.operators import textstats
+def _q_lm_decontam(spark, sf_dir):
+    """Char-LM perplexity + benchmark decontamination in one row: the LM
+    is trained on the corpus itself (top_k=500 so the truncation branch
+    is genuinely exercised); the 'benchmark' is the deterministic
+    doc_id%17 slice, so overlap exists by construction."""
+    from geonames_rdf_spark.operators import dedup, textstats
 
-    return textstats.fingerprint(_docs(spark, sf_dir))
+    d = _docs(spark, sf_dir)
+    lm = textstats.train_char_lm(d, n=3, top_k=500)
+    ppl = textstats.lm_perplexity(d, lm)
+    bench = d.filter(F.col("doc_id") % 17 == 0).select("text")
+    dec = dedup.decontaminate(d, bench, n=13)
+    return ppl.join(dec, "doc_id")
 
 
-def _q_rolling_fp(spark, sf_dir):
-    from geonames_rdf_spark.operators import textstats
+def _q_pack_sequences(spark, sf_dir):
+    """Bucket-parallel next-fit sequence packing; seq_len=96 sits inside
+    the corpus token-count range (10..99) so the oversized branch and the
+    pack-rollover branch both fire."""
+    from geonames_rdf_spark.operators import packing
 
-    return textstats.rolling_fingerprint(_docs(spark, sf_dir))
+    return packing.pack_sequences(_docs(spark, sf_dir), seq_len=96,
+                                  n_buckets=4)
 
 
-def _q_lang_stopword(spark, sf_dir):
-    from geonames_rdf_spark.operators import textstats
+def _q_warc_roundtrip(spark, sf_dir):
+    """WARC sink -> source round trip: documents materialized as gzip'd
+    WARC archives (HTTP preamble, Content-Length framing), parsed back,
+    and value-compared against the rows that went in."""
+    import tempfile
 
-    return textstats.lang_stopword_ratio(_docs(spark, sf_dir))
+    from geonames_rdf_spark.sources import warc
+
+    pages = _docs(spark, sf_dir).select(
+        F.concat(F.lit("https://example.org/doc/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id"))
+        .alias("warc_ts"),
+        F.encode(F.col("text"), "UTF-8").alias("html"),
+    )
+    out = tempfile.mkdtemp(prefix="warc_oracle_")
+    warc.write_warc(pages.repartition(4, "url"), out)
+    return warc.read_warc(spark, out + "/*.warc.gz").select(
+        "url",
+        F.unix_micros(F.col("warc_ts").cast("timestamp_ltz")).alias("ts_us"),
+        F.col("html").cast("string").alias("text"),
+    )
+
+
+def _q_kg_delta_changelog(spark, sf_dir):
+    """Incremental-maintenance changelog between two KG worlds (old =
+    full consolidated build, new = unconsolidated without doc triples),
+    so the multiset diff carries both adds and dels."""
+    from geonames_rdf_spark.pipeline import delta
+
+    old = build.build_kg(spark, sf_dir)
+    new = build.build_kg(spark, sf_dir, consolidate=False,
+                         include_docs=False)
+    return delta.triple_changelog(old, new)
 
 
 def _q_oov_rate(spark, sf_dir):
@@ -337,14 +399,18 @@ def _q_ann_ivf(spark, sf_dir):
 
 
 def _q_minhash(spark, sf_dir):
+    # merged r05: block (MinHash+LSH est_jaccard, through the guarded
+    # pre-collapsed path) THEN verify (exact word-3-gram jaccard on the
+    # surviving pairs) — the production two-stage shape as one row
     from geonames_rdf_spark.operators import dedup
 
     near = _docs(spark, sf_dir).withColumn(
         "doc_id", F.col("doc_id") + 2000000
     ).withColumn("text", F.concat(F.col("text"), F.lit(" trailing token")))
-    return dedup.minhash_near_dups(
-        _docs(spark, sf_dir).unionByName(near), threshold=0.5
-    )
+    all_docs = _docs(spark, sf_dir).unionByName(near)
+    nd = dedup.minhash_near_dups(all_docs, threshold=0.5)
+    ver = dedup.ngram_jaccard(all_docs, nd.select("id_a", "id_b"))
+    return nd.join(ver, ["id_a", "id_b"])
 
 
 def _q_simhash(spark, sf_dir):
@@ -356,21 +422,6 @@ def _q_simhash(spark, sf_dir):
     return dedup.simhash_near_dups(
         _docs(spark, sf_dir).unionByName(near), max_hamming=3
     )
-
-
-def _q_ngram_jaccard(spark, sf_dir):
-    from geonames_rdf_spark.operators import dedup
-
-    # exact word-3-gram Jaccard verification over the MinHash candidate
-    # pairs (the block-then-verify second stage as its own query)
-    docs = _docs(spark, sf_dir)
-    near = docs.withColumn("doc_id", F.col("doc_id") + 2000000).withColumn(
-        "text", F.concat(F.col("text"), F.lit(" trailing token")))
-    all_docs = docs.unionByName(near)
-    sigs = dedup.minhash_signatures(all_docs)
-    pairs = dedup.lsh_candidate_pairs(sigs).select(
-        F.col("id_a"), F.col("id_b"))
-    return dedup.ngram_jaccard(all_docs, pairs)
 
 
 def _q_ann_lsh(spark, sf_dir):
@@ -450,20 +501,20 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_props_stats": _q_events_props,
         "text_token_counts": _q_token_counts,
         "text_quality_features": _q_quality,
-        "text_quality_score": _q_quality_score,
-        "text_lang_id": _q_langid,
-        "text_fingerprint": _q_fingerprint,
-        "text_rolling_fingerprint": _q_rolling_fp,
-        "text_lang_stopword_ratio": _q_lang_stopword,
+        "text_fingerprints": _q_fingerprints,
+        "text_lang_signals": _q_lang_signals,
+        "text_lm_decontam": _q_lm_decontam,
         "text_oov_rate": _q_oov_rate,
         "corpus_composition": _q_corpus_composition,
         "sample_stratified": _q_sample_stratified,
         "curate_corpus": _q_curate_corpus,
+        "pack_sequences": _q_pack_sequences,
+        "warc_roundtrip": _q_warc_roundtrip,
+        "kg_delta_changelog": _q_kg_delta_changelog,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_minhash,
         "dedup_simhash": _q_simhash,
         "dedup_embedding_cosine": _q_emb_neardup,
-        "dedup_ngram_jaccard": _q_ngram_jaccard,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_cosine_topk": _q_ann_topk,
         "ann_knn_per_label": _q_knn_label,

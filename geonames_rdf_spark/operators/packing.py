@@ -38,13 +38,21 @@ def pack_sequences(docs: DataFrame, seq_len: int = 2048,
     """
     import pandas as pd
 
+    # md5-derived bucket (15 hex digits = 60 bits, fits a signed long):
+    # like the sampler's uniform_hash, md5 — not xxhash64 — keeps the
+    # assignment engine-portable, so the DuckDB oracle replays packing
+    # end to end instead of trusting the bucketing step
+    bucket_col = F.pmod(
+        F.conv(F.substring(
+            F.md5(F.concat(F.lit("packb-"), F.col(id_col).cast("string"))),
+            1, 15), 16, 10).cast("long"),
+        F.lit(n_buckets)).cast("int")
     sized = docs.select(
         F.col(id_col),
         # belt-and-braces: token_count contracts 0 for NULL, but a NULL
         # count would crash the int loop below, so pin it here too
         F.coalesce(token_count(F.col(text_col)), F.lit(0)).alias("n_tokens"),
-        F.pmod(F.xxhash64(F.col(id_col).cast("string")),
-               F.lit(n_buckets)).cast("int").alias("bucket"),
+        bucket_col.alias("bucket"),
         # deterministic within-bucket order: md5 of the id, not input order
         F.md5(F.concat(F.lit("pack-"), F.col(id_col).cast("string")))
         .alias("_ord"),

@@ -566,6 +566,163 @@ def _occ(expr: str, needle: str) -> str:
             f" / {len(needle)} AS INT)")
 
 
+def _lm_decontam_sql(n_lm: int = 3, top_k: int = 500, n_dec: int = 13,
+                     bench_mod: int = 17) -> str:
+    """Oracle for the merged char-LM perplexity + benchmark
+    decontamination row (textstats.train_char_lm / lm_perplexity +
+    dedup.decontaminate): (doc_id, n_grams, avg_nll, ppl, n_contaminated,
+    contaminated).
+
+    The LM is retrained inside the query from the same corpus with the
+    same top-k tie rule (count DESC, gram ASC); Laplace scoring
+    P(c|prefix) = (c_n + 1)/(c_p + 256) replayed per position.  The
+    decontamination twin joins on the GRAM STRING itself — Spark's
+    xxhash64 of the gram is an implementation detail of the broadcast
+    set, not part of the semantics."""
+    toks = ("list_filter(string_split_regex(lower(trim(text)), '\\s+'),"
+            " x -> x <> '')")
+    return f"""
+WITH norm AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+  FROM documents),
+pos AS (
+  SELECT doc_id, unnest(
+    CASE WHEN length(t) >= {n_lm}
+         THEN [substr(t, CAST(i AS INT), {n_lm})
+               for i in range(1, length(t) - {n_lm - 2})]
+         ELSE [] END) AS g
+  FROM norm),
+lm_n AS (
+  SELECT g, COUNT(*) AS c FROM pos GROUP BY g
+  ORDER BY c DESC, g ASC LIMIT {top_k}),
+posp AS (
+  SELECT doc_id, unnest(
+    CASE WHEN length(t) >= {n_lm - 1}
+         THEN [substr(t, CAST(i AS INT), {n_lm - 1})
+               for i in range(1, length(t) - {n_lm - 3})]
+         ELSE [] END) AS g
+  FROM norm),
+lm_p AS (
+  SELECT g, COUNT(*) AS c FROM posp GROUP BY g
+  ORDER BY c DESC, g ASC LIMIT {top_k}),
+sc AS (
+  SELECT p.doc_id, COUNT(*) AS k,
+         SUM(-ln((COALESCE(l3.c, 0) + 1.0)
+                 / (COALESCE(l2.c, 0) + 256.0))) AS total
+  FROM pos p
+  LEFT JOIN lm_n l3 ON p.g = l3.g
+  LEFT JOIN lm_p l2 ON substr(p.g, 1, {n_lm - 1}) = l2.g
+  GROUP BY p.doc_id),
+dtoks AS (SELECT doc_id, {toks} AS toks FROM documents),
+bgrams AS (
+  SELECT DISTINCT unnest(
+    CASE WHEN len(toks) >= {n_dec}
+         THEN [array_to_string(toks[i+1:i+{n_dec}], ' ')
+               for i in range(len(toks) - {n_dec - 1})]
+         ELSE [] END) AS g
+  FROM dtoks WHERE doc_id % {bench_mod} = 0),
+dgrams AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(toks) >= {n_dec}
+         THEN [array_to_string(toks[i+1:i+{n_dec}], ' ')
+               for i in range(len(toks) - {n_dec - 1})]
+         ELSE [] END) AS g
+  FROM dtoks),
+hits AS (
+  SELECT doc_id, COUNT(DISTINCT g) AS n_contaminated
+  FROM dgrams WHERE g IN (SELECT g FROM bgrams)
+  GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(sc.k, 0) AS INT) AS n_grams,
+       round(sc.total / sc.k, 4) AS avg_nll,
+       round(exp(sc.total / sc.k), 4) AS ppl,
+       CAST(COALESCE(hits.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+       COALESCE(hits.n_contaminated, 0) > 0 AS contaminated
+FROM documents d
+LEFT JOIN sc ON d.doc_id = sc.doc_id
+LEFT JOIN hits ON d.doc_id = hits.doc_id
+"""
+
+
+def _pack_sequences_sql(tok: str, seq_len: int = 96,
+                        n_buckets: int = 4) -> str:
+    """Oracle for packing.pack_sequences: bucket-parallel NEXT-FIT
+    replayed with a recursive CTE — per bucket, rows advance in md5
+    order carrying (cur_pack, cur_fill) state, exactly the two-integer
+    state of the Arrow packer.  Base case is a synthetic rn=0 seed per
+    bucket so the transition logic exists exactly once."""
+    L = seq_len
+    return f"""
+WITH RECURSIVE sized AS (
+  SELECT doc_id, {tok} AS n_tokens,
+    CAST(('0x' || substr(md5('packb-' || CAST(doc_id AS VARCHAR)), 1, 15))
+         ::UBIGINT % {n_buckets} AS INT) AS bucket,
+    md5('pack-' || CAST(doc_id AS VARCHAR)) AS ord
+  FROM documents),
+ordered AS (
+  SELECT doc_id, n_tokens, bucket,
+         ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY ord) AS rn
+  FROM sized),
+st AS (
+  SELECT bucket, CAST(0 AS BIGINT) AS rn, CAST(NULL AS BIGINT) AS doc_id,
+         0 AS n_tokens, FALSE AS oversized,
+         CAST(NULL AS BIGINT) AS assigned,
+         CAST(0 AS BIGINT) AS cur_pack, CAST(0 AS BIGINT) AS cur_fill
+  FROM (SELECT DISTINCT bucket FROM sized)
+  UNION ALL
+  SELECT o.bucket, o.rn, o.doc_id, o.n_tokens,
+    o.n_tokens > {L} AS oversized,
+    CASE WHEN o.n_tokens > {L} THEN
+           CASE WHEN s.cur_fill > 0 THEN s.cur_pack + 1 ELSE s.cur_pack END
+         WHEN s.cur_fill + o.n_tokens > {L} THEN s.cur_pack + 1
+         ELSE s.cur_pack END AS assigned,
+    CASE WHEN o.n_tokens > {L} THEN
+           CASE WHEN s.cur_fill > 0 THEN s.cur_pack + 2 ELSE s.cur_pack + 1 END
+         WHEN s.cur_fill + o.n_tokens > {L} THEN s.cur_pack + 1
+         ELSE s.cur_pack END AS cur_pack,
+    CASE WHEN o.n_tokens > {L} THEN 0
+         WHEN s.cur_fill + o.n_tokens > {L} THEN o.n_tokens
+         ELSE s.cur_fill + o.n_tokens END AS cur_fill
+  FROM st s JOIN ordered o ON o.bucket = s.bucket AND o.rn = s.rn + 1)
+SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens, bucket,
+       CAST(bucket AS BIGINT) * 1099511627776 + assigned AS pack_id,
+       oversized
+FROM st WHERE rn > 0
+"""
+
+
+def _warc_roundtrip_sql(epoch: int = 1704067200) -> str:
+    """Oracle for the WARC write->read round trip: the Spark side
+    materializes documents as a WARC archive set and parses it back; the
+    twin states what must come out — the URL/timestamp/body constructed
+    from the same rows (fidelity through headers, Content-Length framing,
+    gzip, and the HTTP preamble is exactly what's under test)."""
+    return f"""
+SELECT 'https://example.org/doc/' || CAST(doc_id AS VARCHAR) AS url,
+       CAST(({epoch} + doc_id) * 1000000 AS BIGINT) AS ts_us,
+       text
+FROM documents
+"""
+
+
+def _kg_delta_changelog_sql() -> str:
+    """Oracle for pipeline.delta.triple_changelog between two KG builds:
+    old = full consolidated KG, new = unconsolidated KG without doc
+    triples — so the changelog carries BOTH kinds of row (adds: the
+    consolidation-suppressed triples; dels: the doc triples), each the
+    multiset EXCEPT ALL the Spark side computes."""
+    cols = "subj, pred, obj, obj_is_iri, obj_lang, obj_dt"
+    return f"""
+WITH o AS ({kg_sql()}),
+n AS ({kg_sql(consolidated=False, docs=False)})
+SELECT 'add' AS op, {cols} FROM (
+  SELECT {cols} FROM n EXCEPT ALL SELECT {cols} FROM o)
+UNION ALL
+SELECT 'del' AS op, {cols} FROM (
+  SELECT {cols} FROM o EXCEPT ALL SELECT {cols} FROM n)
+"""
+
+
 def tdp_sql() -> dict[str, str]:
     """DuckDB twins for the oracle-checkable training-data operators."""
     tok = ("CAST(CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0 "
@@ -712,9 +869,72 @@ WHERE q.quality >= 0.4
   AND {sampling.uniform_hash_sql('d.doc_id')} < {_rate_case('d.source')}
 """
 
+    # --- merged rows (r05): the driver records at most 50 queries, so
+    # related single-purpose rows share one row each — quality features +
+    # score + Gopher repetition; both fingerprints; both language
+    # signals.  Zero coverage lost; the freed rows carry the r04
+    # operators (LM+decontam, packing, WARC, delta changelog).
+    words = ("list_filter(string_split_regex(lower(trim(text)), '\\s+'),"
+             " x -> x <> '')")
+    lines = "list_filter(string_split(text, chr(10)), x -> trim(x) <> '')"
+    quality_repetition = f"""
+WITH qf AS ({quality_features.strip()}),
+qs AS ({quality_score.strip()}),
+w AS (SELECT doc_id, {words} AS toks, {lines} AS lins FROM documents),
+base AS (
+  SELECT doc_id,
+    CASE WHEN len(lins) > 0
+         THEN round(1 - len(list_distinct(lins)) / len(lins), 4)
+         ELSE 0.0 END AS dup_line_frac,
+    CASE WHEN len(toks) > 0
+         THEN round(1 - len(list_distinct(toks)) / len(toks), 4)
+         ELSE 0.0 END AS dup_word_frac
+  FROM w),
+grams AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(toks) >= 2
+         THEN [toks[i+1] || ' ' || toks[i+2] for i in range(len(toks)-1)]
+         ELSE [] END) AS g
+  FROM w),
+shares AS (
+  SELECT doc_id, round(max(c) / sum(c), 4) AS top_bigram_share
+  FROM (SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g)
+  GROUP BY doc_id)
+SELECT qf.*, qs.quality, base.dup_line_frac, base.dup_word_frac,
+       COALESCE(shares.top_bigram_share, 0.0) AS top_bigram_share
+FROM qf JOIN qs USING (doc_id) JOIN base USING (doc_id)
+LEFT JOIN shares USING (doc_id)
+"""
+    fingerprints = """
+WITH fp AS (
+  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+    AS fingerprint FROM documents),
+rfp AS (
+  SELECT doc_id,
+    list_min([md5(substr(t, CAST(i AS INT), 16))
+              for i in range(1, greatest(length(t) - 15, 1) + 1)])
+      AS rolling_fingerprint
+  FROM (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+          AS t FROM documents))
+SELECT fp.doc_id, fp.fingerprint, rfp.rolling_fingerprint
+FROM fp JOIN rfp USING (doc_id)
+"""
+    lang_signals = f"""
+WITH li AS ({lang_id.strip()}),
+ls AS ({lang_stopword.strip()})
+SELECT li.doc_id, li.lang_pred, li.marker_hits AS pred_marker_hits,
+       ls.lang, ls.marker_hits AS lang_marker_hits, ls.stopword_ratio
+FROM li JOIN ls USING (doc_id)
+"""
     return {
         **neardup_sql(),
-        "text_lang_stopword_ratio": lang_stopword,
+        "text_quality_features": quality_repetition,
+        "text_fingerprints": fingerprints,
+        "text_lang_signals": lang_signals,
+        "text_lm_decontam": _lm_decontam_sql(),
+        "pack_sequences": _pack_sequences_sql(tok),
+        "warc_roundtrip": _warc_roundtrip_sql(),
+        "kg_delta_changelog": _kg_delta_changelog_sql(),
         "corpus_composition": corpus_composition,
         "sample_stratified": _sample_stratified_sql(),
         "curate_corpus": _curate_sql(),
@@ -745,7 +965,6 @@ SELECT d.doc_id,
          AS oov_rate
 FROM documents d LEFT JOIN per_doc p USING (doc_id)
 """,
-        "text_quality_score": quality_score,
         # whitespace + BPE-ish counts in one row (merged r04 — driver caps
         # at 50 recorded queries); same BPE pre-tokenizer regex: RE2
         # (DuckDB) and Java regex (Spark) agree on this lookahead-free subset
@@ -755,22 +974,6 @@ FROM documents d LEFT JOIN per_doc p USING (doc_id)
             "$$'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+$$"
             ")) AS INT) AS n_bpe_tokens FROM documents"
         ),
-        "text_quality_features": quality_features,
-        "text_lang_id": lang_id,
-        "text_fingerprint": (
-            "SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
-            " AS fingerprint FROM documents"
-        ),
-        # min-hash over character 16-gram windows of the normalized text
-        "text_rolling_fingerprint": """
-SELECT doc_id,
-  list_min([md5(substr(t, CAST(i AS INT), 16))
-            for i in range(1, greatest(length(t) - 15, 1) + 1)]) AS fingerprint
-FROM (
-  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
-  FROM documents
-)
-""",
         "dedup_exact": dedup_exact,
         "ann_cosine_topk": ann_topk,
         "ann_knn_per_label": knn_label,
@@ -1050,11 +1253,15 @@ FROM cand WHERE bit_count(xor(sha, shb)) <= 3
 
 
 def _minhash_sql() -> str:
-    """Oracle for dedup.minhash_near_dups over documents + near variants.
+    """Oracle for dedup.minhash_near_dups + the ngram_jaccard verify
+    stage over documents + near variants (merged r05: block-then-verify
+    as ONE row — (id_a, id_b, est_jaccard, jaccard)).
 
     Candidate generation groups on the exact band 4-tuple instead of the
     xxhash64 bucket id Spark shuffles on — identical pair set barring a
-    64-bit hash collision between distinct tuples.
+    64-bit hash collision between distinct tuples.  The Spark side's
+    exact-signature pre-collapse is a work-shape optimization with
+    identical output, so the oracle needs no equivalent.
     """
     params = ", ".join(
         f"({i}, {1 | _h64_py(f'minhash-a-{i}') % MERSENNE},"
@@ -1104,9 +1311,23 @@ cand AS (
   SELECT DISTINCT a.doc_id AS id_a, a.sig AS sa, b.doc_id AS id_b, b.sig AS sb
   FROM banded a JOIN banded b
     ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+nd AS (
+  SELECT id_a, id_b, round({agree} / 64.0, 4) AS est_jaccard
+  FROM cand WHERE round({agree} / 64.0, 4) >= 0.5
+),
+j AS (
+  SELECT nd.id_a, nd.id_b, nd.est_jaccard,
+         len(list_filter(sa.shl, s -> list_contains(sb.shl, s))) AS inter,
+         len(sa.shl) + len(sb.shl)
+           - len(list_filter(sa.shl, s -> list_contains(sb.shl, s))) AS uni
+  FROM nd
+  JOIN shing sa ON nd.id_a = sa.doc_id
+  JOIN shing sb ON nd.id_b = sb.doc_id
 )
-SELECT id_a, id_b, round({agree} / 64.0, 4) AS est_jaccard
-FROM cand WHERE round({agree} / 64.0, 4) >= 0.5
+SELECT id_a, id_b, est_jaccard,
+       CASE WHEN uni = 0 THEN 1.0 ELSE round(inter / uni, 4) END AS jaccard
+FROM j
 """
 
 
@@ -1173,72 +1394,6 @@ LIMIT {k}
 """
 
 
-def _ngram_jaccard_sql() -> str:
-    """Oracle for dedup.ngram_jaccard over the MinHash LSH candidate
-    pairs: exact word-3-gram set Jaccard (the verify stage)."""
-    params = ", ".join(
-        f"({i}, {1 | _h64_py(f'minhash-a-{i}') % MERSENNE},"
-        f" {_h64_py(f'minhash-b-{i}') % MERSENNE})"
-        for i in range(64)
-    )
-    return f"""
-WITH all_docs AS (
-  SELECT doc_id, text FROM documents
-  UNION ALL
-  SELECT doc_id + 2000000, text || ' trailing token' FROM documents
-),
-params(i, a, b) AS (VALUES {params}),
-toks AS (
-  SELECT doc_id, {_TOKS} AS tk FROM all_docs
-),
-shing AS (
-  SELECT doc_id,
-    CASE WHEN len(tk) = 0 THEN []
-         WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
-         ELSE list_distinct(
-           [array_to_string(tk[i+1:i+3], ' ') for i in range(len(tk)-2)])
-    END AS shl
-  FROM toks
-),
-xs AS (
-  SELECT doc_id,
-    CASE WHEN len(shl) = 0 THEN [0::UBIGINT]
-         ELSE list_transform(shl, s -> {_h64_sql('s')} % {MERSENNE}::UBIGINT)
-    END AS xl
-  FROM shing
-),
-xrow AS (SELECT doc_id, unnest(xl) AS x FROM xs),
-sigrow AS (
-  SELECT doc_id, p.i AS i,
-         MIN((p.a::UBIGINT * x + p.b::UBIGINT) % {MERSENNE}::UBIGINT)::BIGINT AS s
-  FROM xrow CROSS JOIN params p GROUP BY doc_id, p.i
-),
-sigs AS (SELECT doc_id, list(s ORDER BY i) AS sig FROM sigrow GROUP BY doc_id),
-banded AS (
-  SELECT doc_id, bb.b AS band,
-         array_to_string(sig[4*bb.b+1:4*bb.b+4], ',') AS key
-  FROM sigs CROSS JOIN (SELECT unnest(range(16)) AS b) bb
-),
-cand AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM banded a JOIN banded b
-    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-),
-j AS (
-  SELECT c.id_a, c.id_b,
-         len(list_filter(sa.shl, s -> list_contains(sb.shl, s))) AS inter,
-         len(sa.shl) + len(sb.shl)
-           - len(list_filter(sa.shl, s -> list_contains(sb.shl, s))) AS uni
-  FROM cand c
-  JOIN shing sa ON c.id_a = sa.doc_id
-  JOIN shing sb ON c.id_b = sb.doc_id
-)
-SELECT id_a, id_b,
-       CASE WHEN uni = 0 THEN 1.0 ELSE round(inter / uni, 4) END AS jaccard
-FROM j
-"""
-
-
 def _ann_lsh_sql(planes: int = 8, dim: int = 64, k: int = 10,
                  probe_hamming: int = 1) -> str:
     """Oracle for similarity.ann_lsh_topk (multi-probe hyperplane LSH)."""
@@ -1275,9 +1430,9 @@ LIMIT {k}
 def neardup_sql() -> dict[str, str]:
     return {
         "dedup_simhash": _simhash_sql(),
+        # merged r05: est_jaccard + exact ngram-jaccard verify in one row
         "dedup_minhash_lsh": _minhash_sql(),
         "dedup_embedding_cosine": _embedding_neardup_sql(),
-        "dedup_ngram_jaccard": _ngram_jaccard_sql(),
         "ann_ivf_topk": _ann_ivf_sql(),
         "ann_lsh_topk": _ann_lsh_sql(),
     }
