@@ -11,6 +11,8 @@ defeat of join skew.  For gazetteer sides too big to broadcast, use
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -163,6 +165,54 @@ def detect_mentions_sharded(
 
 # --- fused scan + link (the 100 TB hot path) -------------------------------
 
+# worker-side bundle cache: (abs path, size, mtime) -> (matcher, scored_map).
+# Keyed on file identity, not just name, so a re-shipped bundle with new
+# content is reloaded; hit = zero per-job cost after the first task.
+_BUNDLE_CACHE: dict = {}
+
+
+def save_matcher_bundle(scored_map: dict, path: str) -> dict:
+    """Serialize (matcher, scored_map) once to ``path`` for SparkFiles
+    distribution — the build-once alternative to per-job collect +
+    broadcast (VERDICT r04 next-round #4).
+
+    At gazetteer scales where ``build_scored_surface_map`` costs
+    minutes/GBs on the driver (measured: scripts/matcher_build_cost.py,
+    DESIGN.md ceiling table), the deployment shape is: ONE offline job
+    builds the map and writes this bundle; every scan job ships the FILE
+    (``detect_and_link(..., bundle_file=...)``) — no per-job py4j
+    collect, no per-job broadcast ser/deser, and workers reuse the
+    deserialized bundle across jobs via ``_BUNDLE_CACHE``.
+
+    Returns {"bytes": pickled size, "surfaces": len(scored_map)}.
+    """
+    import pickle
+
+    bundle = (build_matcher({k: [] for k in scored_map}), scored_map)
+    with open(path, "wb") as f:
+        pickle.dump(bundle, f, protocol=pickle.HIGHEST_PROTOCOL)
+    return {"bytes": os.path.getsize(path), "surfaces": len(scored_map)}
+
+
+def _load_bundle_cached(name: str):
+    """Worker-side: resolve a SparkFiles-shipped bundle and memoize the
+    deserialized (matcher, scored_map) per Python worker process."""
+    import pickle
+
+    from pyspark import SparkFiles
+
+    path = SparkFiles.get(name)
+    st = os.stat(path)
+    key = (path, st.st_size, int(st.st_mtime))
+    hit = _BUNDLE_CACHE.get(key)
+    if hit is None:
+        with open(path, "rb") as f:
+            hit = pickle.load(f)
+        _BUNDLE_CACHE.clear()  # one live bundle per worker (they are big)
+        _BUNDLE_CACHE[key] = hit
+    return hit
+
+
 def build_scored_surface_map(features) -> dict[str, list[tuple[int, float, str]]]:
     """surface -> [(geonameid, log10(pop+1), country_code)], candidates
     pre-sorted by (-prior, id) so in-scan argmax is a short forward pass."""
@@ -185,9 +235,10 @@ def build_scored_surface_map(features) -> dict[str, list[tuple[int, float, str]]
     return out
 
 
-def detect_and_link(pages, scored_map: dict[str, list[tuple[int, float, str]]],
+def detect_and_link(pages,
+                    scored_map: dict[str, list[tuple[int, float, str]]] | None,
                     lang_bonus: float = 2.0, from_html: bool = False,
-                    bundle_bc=None):
+                    bundle_bc=None, bundle_file: str | None = None):
     """Mention detection + candidate scoring + per-mention argmax, all
     inside the Arrow batch — the candidate fan-out for hot toponyms never
     materializes, so NOTHING shuffles per candidate (the downstream
@@ -209,7 +260,23 @@ def detect_and_link(pages, scored_map: dict[str, list[tuple[int, float, str]]],
     # (the per-bucket loop passes the same object); otherwise a CONTENT
     # fingerprint over keys AND scored payloads — same surfaces with
     # different priors must not slip through either.
-    if bundle_bc is not None:
+    if bundle_file is not None:
+        # SparkFiles path: the bundle was written by save_matcher_bundle;
+        # ship the FILE (torrent-style, once per executor) instead of
+        # collecting + broadcasting per job.  scored_map may be None —
+        # the bundle is the source of truth here.
+        if bundle_bc is not None:
+            raise ValueError("pass bundle_bc or bundle_file, not both")
+        name = os.path.basename(bundle_file)
+        added = getattr(spark.sparkContext, "_graft_shipped_bundles", None)
+        if added is None:
+            added = set()
+            spark.sparkContext._graft_shipped_bundles = added
+        if bundle_file not in added:
+            spark.sparkContext.addFile(bundle_file)
+            added.add(bundle_file)
+        bc = None
+    elif bundle_bc is not None:
         bundled_map = bundle_bc.value[1]
         if bundled_map is not scored_map:
             from geonames_rdf_spark.pipeline.matcher import scored_fingerprint
@@ -231,7 +298,8 @@ def detect_and_link(pages, scored_map: dict[str, list[tuple[int, float, str]]],
         from geonames_rdf_spark.pipeline.extract import extract_text_py
 
     def scan(batches):
-        ac, smap = bc.value
+        ac, smap = (_load_bundle_cached(name) if bc is None
+                    else bc.value)
         lang_cc = {k: f"C{v}" for k, v in LANG_COUNTRY.items()}
         for pdf in batches:
             rows = {c: [] for c in

@@ -14,6 +14,17 @@ which matches the format's OWN design (Common Crawl shards a crawl into
 schema the pipeline ingests (``lang`` is not in WARC; run
 ``textstats.lang_id`` downstream or join crawl metadata).
 
+Memory bound: the decompressed archive is NEVER materialized.  The
+compressed bytes arrive as one binaryFile cell (~1 GB for a CC member);
+decoding streams through ``gzip.GzipFile`` and record batches are
+yielded every ``batch_bytes`` (default 64 MB) of body payload, so peak
+per-task Python memory is compressed_size + O(batch_bytes + one
+record), not compressed + 4-5x decompressed + a pandas copy.  Measured
+(``scripts/warc_mem.py``, 235 MB incompressible synthetic archive):
+peak RSS 409 MB streaming vs 1048 MB for the whole-archive decode it
+replaced — and the streaming number is dominated by the compressed
+input bytes + one 64 MB batch, so it stays flat as archives grow.
+
 ``write_warc`` emits standards-shaped records (response type, target
 URI, date, an HTTP/1.1 200 preamble) so fixtures round-trip and a KG run
 can archive its input slice in the format crawlers exchange.
@@ -26,34 +37,31 @@ from pyspark.sql import DataFrame, SparkSession
 _CRLF = b"\r\n"
 
 
-def _parse_records(data: bytes):
-    """Yield (headers: dict, body: bytes) per WARC record."""
-    pos = 0
-    n = len(data)
-    while pos < n:
-        # skip inter-record blank lines
-        while data.startswith(_CRLF, pos):
-            pos += 2
-        if pos >= n:
+def _parse_records(stream):
+    """Yield (headers: dict, body: bytes) per WARC record, reading the
+    file-like ``stream`` incrementally — at no point is more than one
+    record's header block + body resident."""
+    while True:
+        # skip inter-record blank lines, find the version line
+        line = stream.readline()
+        if not line:
             return
-        head_end = data.find(_CRLF + _CRLF, pos)
-        if head_end < 0:
-            return
-        head = data[pos:head_end].decode("utf-8", "replace")
-        lines = head.split("\r\n")
-        if not lines or not lines[0].startswith("WARC/"):
+        if line in (_CRLF, b"\n"):
+            continue
+        if not line.startswith(b"WARC/"):
             raise ValueError(
-                f"read_warc: expected a WARC/x.y version line at byte"
-                f" {pos}, got {lines[0][:60]!r} — not a WARC file?")
+                f"read_warc: expected a WARC/x.y version line, got"
+                f" {line[:60]!r} — not a WARC file?")
         headers = {}
-        for ln in lines[1:]:
-            k, _, v = ln.partition(":")
+        while True:
+            ln = stream.readline()
+            if not ln or ln in (_CRLF, b"\n"):
+                break
+            k, _, v = ln.decode("utf-8", "replace").partition(":")
             headers[k.strip().lower()] = v.strip()
         length = int(headers.get("content-length", "0"))
-        body_start = head_end + 4
-        body = data[body_start:body_start + length]
+        body = stream.read(length)
         yield headers, body
-        pos = body_start + length
 
 
 def _http_body(payload: bytes) -> bytes:
@@ -65,10 +73,17 @@ def _http_body(payload: bytes) -> bytes:
     return payload
 
 
-def read_warc(spark: SparkSession, path: str) -> DataFrame:
+def read_warc(spark: SparkSession, path: str,
+              batch_bytes: int = 64 << 20) -> DataFrame:
     """(url, warc_ts timestamp, html binary) from the ``response``
-    records of WARC archives at ``path`` (glob ok; ``.gz`` handled)."""
+    records of WARC archives at ``path`` (glob ok; ``.gz`` handled).
+
+    Streaming decode: ``.gz`` members decompress through
+    ``gzip.GzipFile`` as records are parsed, and a batch is emitted
+    every ``batch_bytes`` of accumulated body payload, bounding
+    per-task memory at compressed_size + O(batch_bytes)."""
     import gzip
+    import io
 
     import pandas as pd
 
@@ -78,18 +93,24 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     def parse(batches):
         for pdf in batches:
             for p, content in zip(pdf["path"], pdf["content"]):
-                raw = bytes(content)
+                stream = io.BytesIO(bytes(content))
                 if p.endswith(".gz"):
-                    raw = gzip.decompress(raw)
-                urls, tss, bodies = [], [], []
-                for headers, body in _parse_records(raw):
+                    stream = gzip.GzipFile(fileobj=stream)
+                urls, tss, bodies, pending = [], [], [], 0
+                for headers, body in _parse_records(stream):
                     if headers.get("warc-type") != "response":
                         continue
                     urls.append(headers.get("warc-target-uri"))
                     tss.append(pd.Timestamp(headers.get("warc-date")))
                     bodies.append(_http_body(body))
-                yield pd.DataFrame(
-                    {"url": urls, "warc_ts": tss, "html": bodies})
+                    pending += len(bodies[-1])
+                    if pending >= batch_bytes:
+                        yield pd.DataFrame(
+                            {"url": urls, "warc_ts": tss, "html": bodies})
+                        urls, tss, bodies, pending = [], [], [], 0
+                if urls:
+                    yield pd.DataFrame(
+                        {"url": urls, "warc_ts": tss, "html": bodies})
 
     return bins.mapInPandas(
         parse, schema="url string, warc_ts timestamp, html binary")

@@ -112,3 +112,57 @@ def test_delta_store_update_touches_only_affected_buckets(spark, worlds,
     full = delta.read_triple_store(spark, store)
     assert full.exceptAll(new).count() == 0
     assert new.exceptAll(full).count() == 0
+
+
+def test_delta_scoped_changelog_narrow_update(spark):
+    """Scoped changelog (builds pre-filtered to the affected-id superset
+    from the INPUT diff) must equal the full two-world changelog — on a
+    narrow P-row mutation AND on a class-A delete that triggers the
+    country-closure rule (admin-lookup dependents change triples)."""
+    tables_old = build.gazetteer_tables(spark, SF)
+    old = build.build_kg(spark, SF, tables=tables_old)
+
+    # scenario 1: NARROW non-admin mutation — class-A rows untouched, so
+    # the country closure must not fire and the scope stays ∝ change
+    f = tables_old["features"]
+    mutated = (
+        f.withColumn(
+            "population",
+            F.when((F.col("geonameid") % 7 == 0)
+                   & (F.col("feature_class") == "P"),
+                   F.col("population") + 1).otherwise(F.col("population")))
+        .filter(~((F.col("geonameid") % 5 == 0)
+                  & (F.col("feature_class") == "P")))
+    )
+    tables_new = dict(tables_old)
+    tables_new["features"] = mutated
+    tables_new["alt_names"] = tables_old["alt_names"].join(
+        mutated.select("geonameid"), "geonameid", "left_semi")
+    new = build.build_kg(spark, SF, tables=tables_new)
+
+    full = delta.triple_changelog(old, new).localCheckpoint(eager=True)
+    scoped = delta.scoped_changelog(spark, SF, tables_old, tables_new)
+    assert scoped.exceptAll(full).count() == 0
+    assert full.exceptAll(scoped).count() == 0
+    # the scope is a small fraction of the world — the point of the prune
+    affected = delta.affected_ids_from_dump_diff(
+        tables_old["features"], tables_new["features"],
+        tables_old["alt_names"], tables_new["alt_names"])
+    assert affected.count() < f.count() / 2
+
+    # scenario 2: delete an ADM1 row (re-derived lookup loses it too) —
+    # every dependent's parent-COALESCE changes; only the country
+    # closure makes the scoped diff exact
+    adm1 = tables_old["admin_lookups"][1].select("geonameId").first()[0]
+    f2 = f.filter(F.col("geonameid") != adm1)
+    lookups2 = dict(tables_old["admin_lookups"])
+    lookups2[1] = lookups2[1].filter(F.col("geonameId") != adm1)
+    tables_adm = dict(tables_old)
+    tables_adm["features"] = f2
+    tables_adm["admin_lookups"] = lookups2
+    new2 = build.build_kg(spark, SF, tables=tables_adm)
+    full2 = delta.triple_changelog(old, new2).localCheckpoint(eager=True)
+    scoped2 = delta.scoped_changelog(spark, SF, tables_old, tables_adm)
+    assert full2.count() > 0
+    assert scoped2.exceptAll(full2).count() == 0
+    assert full2.exceptAll(scoped2).count() == 0

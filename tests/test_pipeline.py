@@ -290,3 +290,30 @@ def test_rewrite_triples_subj_obj_and_collapse(spark):
     assert (u(2), vocab.GN_NAME, "9") in got                      # literal kept
     assert (u(2), vocab.RDFS_SEE_ALSO, u(1)) in got               # obj mapped
     assert len(got) == 3
+
+
+def test_bundle_file_scan_equals_broadcast_scan(spark, tmp_path):
+    """detect_and_link(bundle_file=...) — matcher bundle built once,
+    shipped via SparkFiles, worker-cached — must equal the per-job
+    collect + broadcast path row for row, and must not require
+    scored_map at call time."""
+    tables = build.gazetteer_tables(spark, SF)
+    feats = tables["features"].cache()
+    surfaces = corpus.gazetteer_surfaces(feats)
+    pages = corpus.synthesize_pages(spark, surfaces, 200).cache()
+
+    smap = mentions.build_scored_surface_map(feats)
+    bundle = str(tmp_path / "matcher.bundle")
+    info = mentions.save_matcher_bundle(smap, bundle)
+    assert info["surfaces"] == len(smap) and info["bytes"] > 0
+
+    via_bc = sorted(map(tuple, mentions.detect_and_link(
+        pages, smap).collect()))
+    via_file = sorted(map(tuple, mentions.detect_and_link(
+        pages, None, bundle_file=bundle).collect()))
+    assert via_bc == via_file
+    # second job through the same bundle: addFile not re-issued, worker
+    # cache path exercised, output stable
+    again = sorted(map(tuple, mentions.detect_and_link(
+        pages, None, bundle_file=bundle).collect()))
+    assert again == via_file

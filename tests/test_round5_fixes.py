@@ -205,3 +205,69 @@ def test_tsv_zip_exotic_line_separators_match_plain_read(spark, tmp_path):
     b = sorted(tsv.read_tsv_zip(spark, str(zpath), schema).collect())
     assert a == b
     assert len(a) == 2 and a[0]["val"] == exotic
+
+
+def test_warc_streaming_batches_match_single_batch(spark, tmp_path):
+    """read_warc with batch_bytes=1 (every record flushes its own batch
+    through the GzipFile streaming path) must yield exactly the rows of
+    the default 64 MB batching — the bound changes memory, not output."""
+    import pandas as pd
+
+    from geonames_rdf_spark.sources import warc
+
+    pages = spark.createDataFrame(
+        [(f"http://ex.org/{i}",
+          pd.Timestamp("2026-01-01").to_pydatetime(),
+          bytearray((f"<html>page {i} " + "x" * (i * 37 % 257)).encode()))
+         for i in range(200)],
+        "url string, warc_ts timestamp, html binary")
+    wdir = str(tmp_path / "warc")
+    warc.write_warc(pages.repartition(3, "url"), wdir)
+
+    big = sorted(warc.read_warc(spark, wdir + "/*.warc.gz").collect())
+    tiny = sorted(warc.read_warc(spark, wdir + "/*.warc.gz",
+                                 batch_bytes=1).collect())
+    assert big == tiny
+    assert len(big) == 200
+    assert bytes(big[0]["html"]).startswith(b"<html>page")
+
+
+def test_dedup_recall_ladder_monotone(spark):
+    """The dedup tuning knobs degrade gracefully: on the planted
+    near-dup ladder (scripts/dedup_recall.py), MinHash recall vs the
+    exact-Jaccard ground truth is monotone NON-INCREASING in
+    `threshold`, SimHash recall is monotone NON-DECREASING in
+    `max_hamming` (candidate sets nest), and the easy endpoints hold
+    (loose MinHash finds every true pair; hamming 0 finds the exact
+    copies).  The interior curve is recorded in BENCH.md."""
+    import importlib.util
+    import pathlib
+
+    script = (pathlib.Path(__file__).resolve().parent.parent
+              / "scripts" / "dedup_recall.py")
+    spec = importlib.util.spec_from_file_location("dedup_recall", script)
+    dr = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(dr)
+
+    rows, pairs = dr.build_ladder(40)
+    texts = dict(rows)
+    truth = {pairs[i] for i in pairs
+             if dr.exact_jaccard(texts[pairs[i][0]],
+                                 texts[pairs[i][1]]) >= 0.5}
+    assert 0 < len(truth) < len(pairs)  # the ladder straddles the GT bar
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    res = dr.sweep(spark, docs, truth,
+                   minhash_ts=[0.3, 0.5, 0.7, 0.9], hammings=[0, 2, 4])
+
+    mh = [r["recall"] for r in res["minhash"]]
+    assert mh == sorted(mh, reverse=True), mh
+    # loose threshold: high recall, but NOT 1.0 — 16-band/4-row LSH has
+    # a known (1-s^4)^16 miss probability near s≈0.5, which is exactly
+    # what the BENCH.md curve documents (deterministic hashes: pinned)
+    assert mh[0] >= 0.85, mh
+    sh = [r["recall"] for r in res["simhash"]]
+    assert sh == sorted(sh), sh
+    # exact copies (rate 0.0 rung) are hamming 0 by construction
+    assert res["simhash"][0]["detected"] >= 1
+    # cross-base vocabulary is disjoint: nothing false at strict knobs
+    assert res["minhash"][-1]["precision"] in (None, 1.0)

@@ -678,3 +678,72 @@ def test_operators_survive_pathological_corpus(spark):
     dedup.simhash_near_dups(d, max_hamming=3).count()
     sampling.sample_stratified(d, {"src1": 0.5}, default_rate=1.0).count()
     curate.curate_corpus(d, min_quality=0.0).count()
+
+
+def test_png_golden_bytes_decode():
+    """GOLDEN: a 2x2 RGB PNG whose filtered scanlines were computed BY
+    HAND (row 0 Sub, row 1 Up) and whose chunks are assembled here
+    without encode_png — checks the decoder against independently
+    derived bytes, not its own inverse."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.array([[[10, 20, 30], [40, 50, 60]],
+                   [[70, 80, 90], [100, 110, 120]]], dtype=np.uint8)
+    # Sub:  [10,20,30, 40-10,50-20,60-30] ; Up: line - recon(row0)
+    raw = (b"\x01" + bytes([10, 20, 30, 30, 30, 30])
+           + b"\x02" + bytes([60, 60, 60, 60, 60, 60]))
+
+    def chunk(t, d):
+        return (struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", zlib.crc32(t + d)))
+
+    golden = (b"\x89PNG\r\n\x1a\n"
+              + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+              + chunk(b"IDAT", zlib.compress(raw))
+              + chunk(b"IEND", b""))
+    assert (multimodal.decode_png(golden) == px).all()
+
+
+def test_png_roundtrip_all_filters_and_colortypes():
+    """encode_png forcing every filter type (None/Sub/Up/Avg/Paeth) must
+    invert exactly; grayscale broadcasts to 3 channels and RGBA drops
+    alpha."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = ((np.arange(11 * 9 * 3) * 37 + 5) % 256).astype(
+        np.uint8).reshape(11, 9, 3)
+    for ft in range(5):
+        got = multimodal.decode_png(
+            multimodal.encode_png(px, filters=[ft] * 11))
+        assert (got == px).all(), f"filter {ft}"
+    mixed = multimodal.decode_png(
+        multimodal.encode_png(px, filters=[y % 5 for y in range(11)]))
+    assert (mixed == px).all()
+
+    def chunk(t, d):
+        return (struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", zlib.crc32(t + d)))
+
+    def build(color, ch, body):
+        return (b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR",
+                        struct.pack(">IIBBBBB", 3, 2, 8, color, 0, 0, 0))
+                + chunk(b"IDAT", zlib.compress(body))
+                + chunk(b"IEND", b""))
+
+    gray = build(0, 1, b"\x00\x05\x06\x07" + b"\x00\x08\x09\x0a")
+    g = multimodal.decode_png(gray)
+    assert g.shape == (2, 3, 3) and (g[0, 1] == [6, 6, 6]).all()
+    rgba = build(6, 4, b"\x00" + bytes(range(12)) + b"\x00" + bytes(range(12, 24)))
+    r = multimodal.decode_png(rgba)
+    assert r.shape == (2, 3, 3) and (r[0, 1] == [4, 5, 6]).all()
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="unsupported PNG"):
+        multimodal.decode_png(build(3, 1, b"\x00\x00\x00\x00"))
