@@ -501,10 +501,24 @@ def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95,
     """Embedding-cosine near-dup via hyperplane-LSH candidates + exact
     cosine verify.  (id_a, id_b, cosine).
 
+    Scale shape mirrors ``minhash_near_dups``: an **exact-vector
+    pre-collapse** first (one shuffle keyed by the embedding array —
+    re-crawled/mirrored pages embed IDENTICALLY and would otherwise
+    flood every hyperplane bucket with n copies), so LSH bucketing and
+    the candidate self-join run over DISTINCT vectors only; member
+    pairs are expanded back afterwards (within-group pairs carry the
+    self-cosine — 1.0 for any non-degenerate vector — and cross-group
+    pairs inherit the representative cosine EXACTLY, because cosine is
+    a function of the vectors alone).  Plus the finite default
+    ``max_bucket`` guard for residual hot buckets of near-but-distinct
+    vectors.
+
     ``dim`` defaults to sampling one row (tiny setup job); pass it
     explicitly in pipelines where the width is known.  ``lsh_bucket``
     raises on any row whose width disagrees — a silent mismatch would
     NULL the hyperplane dots and collapse every vector into bucket 0."""
+    from pyspark.sql import Window
+
     from geonames_rdf_spark.operators.similarity import cosine_expr, lsh_bucket
 
     if dim is None:
@@ -517,27 +531,49 @@ def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95,
             dim = 0  # no non-null rows: any dim yields an empty result
         else:
             dim = int(row["d"])
-    sig = embeddings.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-        lsh_bucket(F.col(vec_col), planes, dim=dim).alias("bucket"),
-    )
+    base = embeddings.select(F.col(id_col).alias("id"),
+                             F.col(vec_col).alias("v"))
+    m = base.withColumn(
+        "vid", F.min("id").over(Window.partitionBy("v"))
+    ).localCheckpoint(eager=False)
+    sig = (m.filter(F.col("id") == F.col("vid"))
+           .select("id", "v",
+                   lsh_bucket(F.col("v"), planes, dim=dim).alias("bucket")))
     join_keys = ["bucket"]
     if max_bucket is not None:
         sig, extra = _guard_oversized_buckets(
             sig, join_keys, "id", max_bucket, oversize, guard_observation)
         join_keys = join_keys + extra
     a, b = sig.alias("a"), sig.alias("b")
-    cand = (
+    vpairs = (
         a.join(b, join_keys)
         .filter(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("a.v").alias("va"),
-                F.col("b.id").alias("id_b"), F.col("b.v").alias("vb"))
-    )
-    return (
-        cand.withColumn("cosine", F.round(cosine_expr(F.col("va"), F.col("vb")), 6))
+        .select(F.col("a.id").alias("vid_a"), F.col("a.v").alias("va"),
+                F.col("b.id").alias("vid_b"), F.col("b.v").alias("vb"))
+        .withColumn("cosine", F.round(cosine_expr(F.col("va"),
+                                                  F.col("vb")), 6))
         .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
+        .select("vid_a", "vid_b", "cosine")
     )
+    ma = m.select(F.col("id").alias("ia"), F.col("vid").alias("vid_a"))
+    mb = m.select(F.col("id").alias("ib"), F.col("vid").alias("vid_b"))
+    cross = (
+        vpairs.join(ma, "vid_a").join(mb, "vid_b")
+        .select(F.least("ia", "ib").alias("id_a"),
+                F.greatest("ia", "ib").alias("id_b"), "cosine")
+    )
+    within = (
+        m.filter(F.col("id") == F.col("vid"))
+        .select("vid", F.round(cosine_expr(F.col("v"), F.col("v")),
+                               6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+        .join(m.select(F.col("id").alias("ia"), "vid"), "vid")
+        .join(m.select(F.col("id").alias("ib"), "vid"), "vid")
+        .filter(F.col("ia") < F.col("ib"))
+        .select(F.col("ia").alias("id_a"), F.col("ib").alias("id_b"),
+                "cosine")
+    )
+    return cross.unionByName(within)
 
 
 def word_ngram_expr(text, n: int):

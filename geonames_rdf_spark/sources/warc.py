@@ -121,7 +121,13 @@ def write_warc(pages: DataFrame, path: str, gz: bool = True,
                html_col: str = "html") -> None:
     """Write pages as one WARC archive per input partition under
     ``path`` (``part-N.warc[.gz]``) — the sink side of the format, used
-    for fixtures and for archiving a processed slice."""
+    for fixtures and for archiving a processed slice.
+
+    Streaming write, mirroring ``read_warc``'s bound: records are
+    encoded and written (through ``gzip.GzipFile`` when ``gz``) per
+    Arrow batch — the sink never holds more than one input batch plus
+    the gzip window, so archiving a multi-GB partition is flat-memory.
+    """
     import gzip
     import os
 
@@ -133,7 +139,17 @@ def write_warc(pages: DataFrame, path: str, gz: bool = True,
         import pandas as pd
         from pyspark import TaskContext
 
-        chunks = []
+        out, raw = None, None
+
+        def sink():
+            nonlocal out, raw
+            if out is None:
+                pid = TaskContext.get().partitionId()
+                name = f"part-{pid:05d}.warc" + (".gz" if gz else "")
+                raw = open(os.path.join(path, name), "wb")
+                out = gzip.GzipFile(fileobj=raw, mode="wb") if gz else raw
+            return out
+
         for pdf in batches:
             for url, ts, html in zip(pdf[url_col], pdf[ts_col],
                                      pdf[html_col]):
@@ -149,15 +165,11 @@ def write_warc(pages: DataFrame, path: str, gz: bool = True,
                     f"{uuid.uuid5(uuid.NAMESPACE_URL, str(url))}>\r\n"
                     f"Content-Length: {len(body)}\r\n\r\n"
                 ).encode()
-                chunks.append(head + body + b"\r\n\r\n")
-        if chunks:
-            data = b"".join(chunks)
-            if gz:
-                data = gzip.compress(data)
-            pid = TaskContext.get().partitionId()
-            name = f"part-{pid:05d}.warc" + (".gz" if gz else "")
-            with open(os.path.join(path, name), "wb") as f:
-                f.write(data)
+                sink().write(head + body + b"\r\n\r\n")
+        if out is not None:
+            out.close()
+            if raw is not out:
+                raw.close()
         yield pd.DataFrame({"_": pd.Series([], dtype="int64")})
 
     pages.select(url_col, ts_col, html_col).mapInPandas(

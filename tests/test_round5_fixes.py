@@ -271,3 +271,25 @@ def test_dedup_recall_ladder_monotone(spark):
     assert res["simhash"][0]["detected"] >= 1
     # cross-base vocabulary is disjoint: nothing false at strict knobs
     assert res["minhash"][-1]["precision"] in (None, 1.0)
+
+
+def test_embedding_flood_collapses_to_one_representative(spark):
+    """PATHOLOGICAL: thousands of rows with the IDENTICAL embedding (a
+    mirrored page crawled many times).  The exact-vector pre-collapse
+    must reduce the LSH bucket join to ONE row per distinct vector, and
+    the expanded output must still report every duplicate pair."""
+    n = 2000
+    rows = ([(i, [1.0, 2.0, 3.0, 4.0]) for i in range(n)]
+            + [(10_000, [1.0, 2.0, 3.0, 4.1]),
+               (10_001, [-4.0, 3.0, -2.0, 1.0])])
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = dedup.embedding_near_dups(emb, threshold=0.999, dim=4)
+    flood = out.filter((F.col("id_a") < n) & (F.col("id_b") < n))
+    assert flood.count() == n * (n - 1) // 2
+    assert flood.filter(F.col("cosine") < 0.999).count() == 0
+    # the near-but-distinct vector still pairs via LSH + verify
+    near = out.filter(F.col("id_b") == 10_000)
+    assert near.count() >= 1
+    # the orthogonal-ish vector pairs with nothing
+    assert out.filter((F.col("id_a") == 10_001)
+                      | (F.col("id_b") == 10_001)).count() == 0
