@@ -73,22 +73,16 @@ def _http_body(payload: bytes) -> bytes:
     return payload
 
 
-def read_warc(spark: SparkSession, path: str,
-              batch_bytes: int = 64 << 20) -> DataFrame:
-    """(url, warc_ts timestamp, html binary) from the ``response``
-    records of WARC archives at ``path`` (glob ok; ``.gz`` handled).
+_PAGE_SCHEMA = "url string, warc_ts timestamp, html binary"
 
-    Streaming decode: ``.gz`` members decompress through
-    ``gzip.GzipFile`` as records are parsed, and a batch is emitted
-    every ``batch_bytes`` of accumulated body payload, bounding
-    per-task memory at compressed_size + O(batch_bytes)."""
+
+def _parse_mapper(batch_bytes: int):
+    """mapInPandas body shared by the batch and streaming readers:
+    (path, content) rows -> bounded (url, warc_ts, html) batches."""
     import gzip
     import io
 
     import pandas as pd
-
-    bins = spark.read.format("binaryFile").load(path).select(
-        "path", "content")
 
     def parse(batches):
         for pdf in batches:
@@ -112,8 +106,50 @@ def read_warc(spark: SparkSession, path: str,
                     yield pd.DataFrame(
                         {"url": urls, "warc_ts": tss, "html": bodies})
 
-    return bins.mapInPandas(
-        parse, schema="url string, warc_ts timestamp, html binary")
+    return parse
+
+
+def read_warc(spark: SparkSession, path: str,
+              batch_bytes: int = 64 << 20) -> DataFrame:
+    """(url, warc_ts timestamp, html binary) from the ``response``
+    records of WARC archives at ``path`` (glob ok; ``.gz`` handled).
+
+    Streaming decode: ``.gz`` members decompress through
+    ``gzip.GzipFile`` as records are parsed, and a batch is emitted
+    every ``batch_bytes`` of accumulated body payload, bounding
+    per-task memory at compressed_size + O(batch_bytes)."""
+    bins = spark.read.format("binaryFile").load(path).select(
+        "path", "content")
+    return bins.mapInPandas(_parse_mapper(batch_bytes),
+                            schema=_PAGE_SCHEMA)
+
+
+def read_warc_stream(spark: SparkSession, path: str,
+                     batch_bytes: int = 64 << 20,
+                     glob: str = "*.warc.gz",
+                     max_files_per_trigger: int | None = None) -> DataFrame:
+    """STREAMING WARC source: a Structured Streaming DataFrame of
+    (url, warc_ts, html) over archives LANDING in ``path`` — the shape
+    of a live crawl: the crawler drops finished ``.warc.gz`` members
+    into a directory (Common Crawl's own delivery unit) and each
+    micro-batch ingests the new files.  Same incremental record parser
+    and per-task memory bound as ``read_warc``; per-archive parallelism
+    (gzip members are non-splittable by design).
+
+    ``max_files_per_trigger`` caps archives per micro-batch — at ~1 GB
+    per member this IS the ingest-rate knob."""
+    # binaryFile's schema is fixed, but the streaming source requires it
+    # to be stated explicitly
+    reader = (spark.readStream.format("binaryFile")
+              .schema("path string, modificationTime timestamp,"
+                      " length long, content binary")
+              .option("pathGlobFilter", glob))
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger",
+                               str(max_files_per_trigger))
+    bins = reader.load(path).select("path", "content")
+    return bins.mapInPandas(_parse_mapper(batch_bytes),
+                            schema=_PAGE_SCHEMA)
 
 
 def write_warc(pages: DataFrame, path: str, gz: bool = True,

@@ -256,6 +256,14 @@ def run_stream_kg(
         "url string, warc_ts timestamp, html binary, text string, lang string"
     ).parquet(pages_dir)
     linked = m.detect_and_link(pages, scored_map, from_html=True)
+    return _start_kg_sink(linked, out_dir, n_buckets)
+
+
+def _start_kg_sink(linked: DataFrame, out_dir: str, n_buckets: int):
+    """foreachBatch epoch-partitioned triple sink shared by the parquet-
+    and WARC-fed continuous KG builds (exactly-once semantics documented
+    on ``run_stream_kg``)."""
+    from geonames_rdf_spark.pipeline import materialize
 
     def write_batch(df, epoch_id: int) -> None:
         t = materialize.mention_triples(df)
@@ -275,6 +283,37 @@ def run_stream_kg(
         .option("checkpointLocation", f"{out_dir}/_checkpoint")
         .start()
     )
+
+
+def run_stream_kg_warc(
+    spark: SparkSession,
+    warc_dir: str,
+    scored_map: dict[str, list[tuple[int, float, str]]],
+    out_dir: str,
+    n_buckets: int = 8,
+    max_files_per_trigger: int | None = None,
+):
+    """Continuous KG maintenance DIRECTLY from a crawl drop directory:
+    ``.warc.gz`` members landing in ``warc_dir`` -> streaming WARC
+    parse (``sources.warc.read_warc_stream``) -> fused extract+link ->
+    the same epoch-partitioned exactly-once triple sink as
+    ``run_stream_kg``.  This is the end-to-end live-crawl shape: the
+    crawler's delivery unit (a finished archive) is the micro-batch
+    unit, ``max_files_per_trigger`` bounds ingest rate, and a replayed
+    batch after crash recovery overwrites its own epoch partition.
+
+    WARC carries no language metadata, so ``lang`` is NULL — the linker
+    scores on the population prior alone (no language bonus), exactly
+    the ``detect_and_link`` NULL-lang contract."""
+    from geonames_rdf_spark.pipeline import mentions as m
+    from geonames_rdf_spark.sources.warc import read_warc_stream
+
+    pages = read_warc_stream(
+        spark, warc_dir,
+        max_files_per_trigger=max_files_per_trigger,
+    ).withColumn("lang", F.lit(None).cast("string"))
+    linked = m.detect_and_link(pages, scored_map, from_html=True)
+    return _start_kg_sink(linked, out_dir, n_buckets)
 
 
 def read_stream_kg(spark: SparkSession, out_dir: str) -> DataFrame:

@@ -307,3 +307,41 @@ def test_stream_kg_kill_restart_resume(spark, tmp_path):
     assert streamed.count() == batch.count() > 0
     assert streamed.exceptAll(batch).count() == 0
     assert batch.exceptAll(streamed).count() == 0
+
+
+def test_stream_kg_from_warc_drop_dir(spark, tmp_path):
+    """Live-crawl shape end to end: .warc.gz members in a drop
+    directory -> streaming WARC parse -> fused linking (NULL lang, no
+    bonus) -> epoch-partitioned triple store; the compacted read equals
+    the batch path over read_warc."""
+    from pyspark.sql import functions as F
+
+    from geonames_rdf_spark.operators import build
+    from geonames_rdf_spark.pipeline import corpus, materialize, mentions
+    from geonames_rdf_spark.sources import warc
+
+    tables = build.gazetteer_tables(spark, SF)
+    feats = tables["features"]
+    surfaces = corpus.gazetteer_surfaces(feats)
+    pages = corpus.synthesize_pages(spark, surfaces, 120)
+    drop = str(tmp_path / "crawl_drop")
+    # 3 archives => micro-batch boundaries land between members
+    warc.write_warc(pages.repartition(3, "url"), drop)
+    smap_scored = mentions.build_scored_surface_map(feats)
+    out = str(tmp_path / "warc_kg_out")
+
+    q = ev.run_stream_kg_warc(spark, drop, smap_scored, out, n_buckets=4,
+                              max_files_per_trigger=1)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = ev.read_stream_kg(spark, out)
+
+    batch_pages = (warc.read_warc(spark, drop + "/*.warc.gz")
+                   .withColumn("lang", F.lit(None).cast("string")))
+    batch = materialize.mention_triples(
+        mentions.detect_and_link(batch_pages, smap_scored, from_html=True))
+    assert streamed.count() == batch.count() > 0
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
