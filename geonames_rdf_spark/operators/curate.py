@@ -9,11 +9,14 @@ One lazy plan chaining the already-verified primitives:
    (``textstats.quality_score``, same 6-dp rounding contract);
 3. **stratified downsampling** — per-source keep rates via the
    hash-deterministic sampler (``sampling.sample_stratified``);
-4. optional r04 gates, each off by default (the oracle twin checks the
+4. optional gates, each off by default (the oracle twin checks the
    default wiring): **benchmark decontamination**
    (``dedup.decontaminate``), **repetition caps**
    (``textstats.repetition_stats``, Gopher rules), **LM perplexity cap**
-   (``textstats.lm_perplexity`` with a pre-trained broadcast LM).
+   (``textstats.lm_perplexity`` with a pre-trained broadcast LM), and
+   the r05 **PII-density cap** (``privacy.redact_pii`` counts — drop
+   documents whose placeholder count exceeds ``max_pii``; redaction
+   itself is a rewrite, not a filter, so it stays a separate operator).
 
 Each stage is individually oracle-checked; the composite has its own
 DuckDB twin (driver query ``curate_corpus``) so stage WIRING is verified
@@ -42,7 +45,8 @@ def curate_corpus(docs: DataFrame, min_quality: float = 0.4,
                   max_top_bigram_share: float | None = None,
                   lm: dict | None = None,
                   max_ppl: float | None = None,
-                  drop_unmeasurable: bool = False) -> DataFrame:
+                  drop_unmeasurable: bool = False,
+                  max_pii: int | None = None) -> DataFrame:
     """(doc_id, source, lang, quality) for the curated subset."""
     if id_col != "doc_id":
         # textstats.quality_score keys its output on doc_id; renaming
@@ -83,6 +87,12 @@ def curate_corpus(docs: DataFrame, min_quality: float = 0.4,
         ok = (textstats.lm_perplexity(d, lm, text_col)
               .filter(keep_ppl)
               .select(id_col))
+        d = d.join(ok, id_col, "left_semi")
+    if max_pii is not None:
+        from geonames_rdf_spark.operators.privacy import redact_pii
+
+        ok = (redact_pii(d, text_col, id_col)
+              .filter(F.col("n_pii") <= max_pii).select(id_col))
         d = d.join(ok, id_col, "left_semi")
     if rates:
         d = sampling.sample_stratified(d, rates, id_col=id_col,

@@ -104,3 +104,53 @@ def pack_stats(packed: DataFrame, seq_len: int = 2048) -> DataFrame:
              .alias("has_oversized"))
         .withColumn("fill", F.round(F.col("total_tokens") / seq_len, 4))
     )
+
+
+def chunk_documents(docs: DataFrame, max_tokens: int = 128,
+                    overlap: int = 16, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Split documents into overlapping token windows — the
+    context-window prep step between curation and packing: (doc_id,
+    chunk_id, n_tokens, chunk_text), whitespace tokenization.
+
+    Pure Column work: split -> ``sequence`` of window starts (stride =
+    ``max_tokens - overlap``) -> ``posexplode`` -> ``slice`` +
+    ``array_join``.  One narrow map stage, no shuffle, no Python — the
+    shape that chunks 10^12 documents as a pass over the corpus.
+
+    Windows cover the token list exactly: a start is emitted iff it is
+    0 or contributes tokens not covered by the previous window
+    (``start + overlap < n``), so no chunk is a pure suffix-duplicate
+    of its predecessor; every token appears in >= 1 chunk; docs with
+    NULL/whitespace-only text yield NO rows (nothing to train on).
+    Equality with a DuckDB twin is pytest-pinned
+    (`test_chunk_documents_duck_parity`).
+    """
+    if overlap >= max_tokens:
+        raise ValueError(
+            f"chunk_documents: overlap ({overlap}) must be smaller than"
+            f" max_tokens ({max_tokens}) or the stride is non-positive")
+    stride = max_tokens - overlap
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    sized = (
+        docs.select(F.col(id_col), toks.alias("toks"))
+        .withColumn("n", F.size("toks"))
+        .filter(F.col("n") > 0)
+        # split('') yields [''] (size 1, empty token): drop those rows
+        .filter(~((F.col("n") == 1) & (F.element_at("toks", 1) == "")))
+    )
+    starts = F.sequence(F.lit(0), F.col("n") - 1, F.lit(stride))
+    return (
+        sized.select(
+            F.col(id_col), "toks", "n",
+            F.posexplode(starts).alias("chunk_id", "start"))
+        .filter((F.col("start") == 0)
+                | (F.col("start") + overlap < F.col("n")))
+        .select(
+            F.col(id_col), "chunk_id",
+            F.least(F.lit(max_tokens),
+                    F.col("n") - F.col("start")).alias("n_tokens"),
+            F.array_join(
+                F.slice(F.col("toks"), F.col("start") + 1,
+                        F.lit(max_tokens)), " ").alias("chunk_text"))
+    )

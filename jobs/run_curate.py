@@ -7,10 +7,13 @@
         --benchmark /path/to/eval_docs.parquet --max-ppl 10000 --seq-len 2048
 
 Pipeline (one lazy plan + one packing pass): exact dedup -> quality gate
--> optional decontamination / repetition caps / LM-perplexity cap ->
-stratified sampling -> sequence packing.  Writes:
+-> optional decontamination / repetition caps / LM-perplexity cap /
+PII-density cap -> stratified sampling -> optional chunking (overlapping
+token windows; chunks never exceed the pack budget when --chunk-tokens
+<= --seq-len) -> sequence packing.  Writes:
   <out>/curated/   (doc_id, source, lang, quality)
-  <out>/packs/     (doc_id, n_tokens, bucket, pack_id, oversized)
+  <out>/chunks/    (doc_id, chunk_id, n_tokens, chunk_text) when chunking
+  <out>/packs/     (unit ids, n_tokens, bucket, pack_id, oversized)
 and prints ONE JSON metrics line.
 """
 
@@ -34,6 +37,14 @@ def main() -> None:
     ap.add_argument("--max-ppl", type=float, default=None,
                     help="char-LM perplexity cap (LM trained on the corpus)")
     ap.add_argument("--lm-order", type=int, default=3)
+    ap.add_argument("--max-pii", type=int, default=None,
+                    help="drop documents with more than this many PII"
+                         " placeholders (privacy.redact_pii counts)")
+    ap.add_argument("--chunk-tokens", type=int, default=None,
+                    help="chunk kept documents into windows of this many"
+                         " tokens before packing (packs then never see"
+                         " an oversized unit when <= --seq-len)")
+    ap.add_argument("--chunk-overlap", type=int, default=16)
     ap.add_argument("--seq-len", type=int, default=2048)
     ap.add_argument("--pack-buckets", type=int, default=32)
     args = ap.parse_args()
@@ -56,12 +67,28 @@ def main() -> None:
         decontam_benchmark=bench, decontam_ngram=args.decontam_ngram,
         max_dup_line_frac=args.max_dup_line_frac,
         max_top_bigram_share=args.max_top_bigram_share,
-        lm=lm, max_ppl=args.max_ppl)
+        lm=lm, max_ppl=args.max_ppl, max_pii=args.max_pii)
     curated.write.mode("overwrite").parquet(f"{args.out}/curated")
     curated = spark.read.parquet(f"{args.out}/curated")
 
     kept_docs = docs.join(curated.select("doc_id"), "doc_id", "left_semi")
-    packed = packing.pack_sequences(kept_docs, seq_len=args.seq_len,
+    n_chunks = None
+    if args.chunk_tokens is not None:
+        chunks = packing.chunk_documents(
+            kept_docs, max_tokens=args.chunk_tokens,
+            overlap=args.chunk_overlap)
+        chunks.write.mode("overwrite").parquet(f"{args.out}/chunks")
+        chunks = spark.read.parquet(f"{args.out}/chunks")
+        n_chunks = chunks.count()
+        # pack the CHUNKS: unit id = doc_id * 2^20 + chunk_id (chunk_id
+        # is bounded far below 2^20 for any realistic document)
+        pack_in = chunks.select(
+            (F.col("doc_id") * 1_048_576 + F.col("chunk_id"))
+            .alias("doc_id"),
+            F.col("chunk_text").alias("text"))
+    else:
+        pack_in = kept_docs
+    packed = packing.pack_sequences(pack_in, seq_len=args.seq_len,
                                     n_buckets=args.pack_buckets)
     packed.write.mode("overwrite").parquet(f"{args.out}/packs")
     packed = spark.read.parquet(f"{args.out}/packs")
@@ -78,6 +105,7 @@ def main() -> None:
         "mean_fill": agg["mean_fill"],
         "oversized_packs": agg["oversized_packs"],
         "seq_len": args.seq_len,
+        "n_chunks": n_chunks,
     }))
     spark.stop()
 

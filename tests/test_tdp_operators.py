@@ -747,3 +747,131 @@ def test_png_roundtrip_all_filters_and_colortypes():
     import pytest as _pt
     with _pt.raises(ValueError, match="unsupported PNG"):
         multimodal.decode_png(build(3, 1, b"\x00\x00\x00\x00"))
+
+
+def test_redact_pii_duck_parity(spark, duck):
+    """redact_pii == the RE2 twin (same literal patterns, privacy.py
+    keeps both sides in one file) on adversarial planted rows AND on
+    the real documents table (PII-free: counts all 0, text unchanged
+    modulo redaction no-ops)."""
+    import pandas as pd
+
+    from geonames_rdf_spark.operators import privacy
+    from tests.conftest import assert_df_parity
+
+    rows = [
+        (0, "contact bob.smith+x@mail.example.org or ops@sub.ex.io now"),
+        (1, "server 10.1.2.3 and 255.255.255.255 rebooted"),
+        (2, "call +1 415-555-0199 or 089 123 456 789 today"),
+        (3, "ssn 123-45-6789 inside text 999-11-2222."),
+        (4, "mixed a@b.co at 192.168.0.1 phone 0151 2345 6789 ssn 321-54-9876"),
+        (5, None),
+        (6, ""),
+        (7, "no pii here, just words and numbers like 42 and 7."),
+        (8, "tricky not-an-ip 1.2.3 and half-email @example.com"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    d = spark.createDataFrame(pdf)
+    duck.register("pii_fixture", pdf)
+    got = privacy.redact_pii(d)
+    want = duck.execute(
+        privacy.pii_oracle_sql(table="pii_fixture")).df()
+    assert_df_parity(got, want)
+    # planted rows actually exercise every kind
+    tot = {r["doc_id"]: r["n_pii"] for r in got.collect()}
+    assert tot[0] == 2 and tot[3] == 2 and tot[4] == 4 and tot[7] == 0
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    got2 = privacy.redact_pii(docs).agg(
+        F.sum("n_pii").cast("bigint").alias("total"),
+        F.count(F.lit(1)).alias("rows"))
+    want2 = duck.execute(
+        "SELECT sum(n_pii)::BIGINT AS total, count(*) AS rows FROM ("
+        + privacy.pii_oracle_sql(table="documents") + ")").df()
+    assert_df_parity(got2, want2)
+
+
+def test_chunk_documents_duck_parity(spark, duck):
+    """chunk_documents == a DuckDB generate_series/list_slice twin on
+    the real documents table; edge invariants pinned on planted rows."""
+    from geonames_rdf_spark.operators import packing
+    from tests.conftest import assert_df_parity
+
+    max_t, ov, stride = 32, 8, 24
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    got = packing.chunk_documents(docs, max_tokens=max_t, overlap=ov)
+    want = duck.execute(f"""
+        WITH t AS (
+          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+          FROM documents WHERE text IS NOT NULL
+        ), sized AS (
+          SELECT doc_id, toks, len(toks) AS n FROM t
+          WHERE len(toks) > 0 AND NOT (len(toks) = 1 AND toks[1] = '')
+        ), st AS (
+          SELECT doc_id, toks, n,
+                 unnest(generate_series(0, n - 1, {stride})) AS start
+          FROM sized
+        )
+        SELECT doc_id, CAST(start / {stride} AS INT) AS chunk_id,
+               CAST(least({max_t}, n - start) AS INT) AS n_tokens,
+               array_to_string(toks[start + 1 : start + {max_t}], ' ')
+                 AS chunk_text
+        FROM st WHERE start = 0 OR start + {ov} < n
+    """).df()
+    assert got.count() > docs.count()  # some docs actually split
+    assert_df_parity(got, want)
+
+    # edge invariants: coverage, no pure-suffix chunks, empty handling
+    rows = [(0, " ".join(f"t{i}" for i in range(80))),   # 80 toks -> 3+
+            (1, " ".join(f"t{i}" for i in range(32))),   # exactly max
+            (2, " ".join(f"t{i}" for i in range(33))),   # max+1
+            (3, "one"), (4, ""), (5, None), (6, "   ")]
+    d2 = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = packing.chunk_documents(d2, max_tokens=max_t, overlap=ov)
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 0: starts 0/24/48 (start 72 suppressed — 72+8 >= 80, its
+    # tokens are fully covered by the chunk at 48)
+    assert {k: len(v) for k, v in by_doc.items()} == {0: 3, 1: 1, 2: 2,
+                                                      3: 1}
+    # every token of doc 0 appears; consecutive chunks share `ov` tokens
+    c0 = sorted(by_doc[0], key=lambda r: r["chunk_id"])
+    toks = [c["chunk_text"].split() for c in c0]
+    assert toks[0][:1] == ["t0"] and toks[-1][-1] == "t79"
+    assert toks[0][-ov:] == toks[1][:ov]
+    assert set(sum(toks, [])) == {f"t{i}" for i in range(80)}
+    # doc 2 (max+1): second chunk contributes exactly one new token
+    c2 = sorted(by_doc[2], key=lambda r: r["chunk_id"])
+    assert c2[1]["n_tokens"] == 33 - stride
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="overlap"):
+        packing.chunk_documents(d2, max_tokens=8, overlap=8)
+
+
+def test_curate_pii_gate(spark):
+    """max_pii drops documents whose sequential placeholder count
+    exceeds the cap, and leaves the default path untouched."""
+    from geonames_rdf_spark.operators import curate
+
+    rows = [(i, "web", "en",
+             f"a perfectly ordinary training paragraph number {i} with "
+             "plenty of clean words to clear the quality bar easily")
+            for i in range(8)]
+    rows.append((100, "web", "en",
+                 "leaky row: mail me at a@b.co or c@d.io, box at "
+                 "10.0.0.1, ssn 123-45-6789 — plenty of words too"))
+    d = spark.createDataFrame(rows, "doc_id bigint, source string, "
+                                    "lang string, text string")
+    base = {r["doc_id"] for r in
+            curate.curate_corpus(d, min_quality=0.0).collect()}
+    assert 100 in base  # no gate: the leaky row survives
+    gated = {r["doc_id"] for r in
+             curate.curate_corpus(d, min_quality=0.0,
+                                  max_pii=3).collect()}
+    assert gated == base - {100}  # 4 placeholders > cap 3
+    loose = {r["doc_id"] for r in
+             curate.curate_corpus(d, min_quality=0.0,
+                                  max_pii=4).collect()}
+    assert loose == base
