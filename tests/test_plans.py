@@ -122,3 +122,29 @@ def test_stratified_sampler_pushes_zero_rate_strata(spark):
     pushed = plan.split("PushedFilters:")[1].splitlines()[0]
     assert "source" in pushed
     assert out.filter("source = 'src0'").count() == 0
+
+
+def test_chunk_documents_no_shuffle_single_codegen(spark):
+    """chunk_documents is ONE narrow map stage: no Exchange in the plan
+    (a shuffle here would re-distribute the full corpus text for what is
+    a per-row transform) and the whole chain stays JVM-side (no Python
+    evals)."""
+    from geonames_rdf_spark.operators import packing
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(packing.chunk_documents(docs))
+    assert "Exchange" not in plan, plan
+    for marker in ("ArrowEval", "BatchEval", "PythonUDF", "MapInPandas"):
+        assert marker not in plan, plan
+
+
+def test_redact_pii_no_shuffle_no_python(spark):
+    """redact_pii is pure codegen regexp work: no Exchange, no Python
+    boundary — the corpus-scale PII pass is a map-only scan."""
+    from geonames_rdf_spark.operators import privacy
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(privacy.redact_pii(docs))
+    assert "Exchange" not in plan, plan
+    for marker in ("ArrowEval", "BatchEval", "PythonUDF", "MapInPandas"):
+        assert marker not in plan, plan

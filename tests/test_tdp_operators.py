@@ -875,3 +875,33 @@ def test_curate_pii_gate(spark):
              curate.curate_corpus(d, min_quality=0.0,
                                   max_pii=4).collect()}
     assert loose == base
+
+
+# --- property-based PNG codec round-trip (pure numpy, no Spark) ------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=120, deadline=None)
+    @given(
+        h=st.integers(min_value=1, max_value=12),
+        w=st.integers(min_value=1, max_value=12),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+        filters=st.lists(st.integers(min_value=0, max_value=4),
+                         min_size=12, max_size=12),
+    )
+    def test_png_roundtrip_property(h, w, seed, filters):
+        """decode(encode(px, any per-row filter choice)) == px for every
+        image shape — the five filter transforms must be exact inverses
+        at every byte value, including the uint8 wraparound cases a
+        hand-picked fixture can miss."""
+        import numpy as np
+
+        px = ((np.arange(h * w * 3, dtype=np.int64) * (seed | 1) + seed)
+              % 256).astype(np.uint8).reshape(h, w, 3)
+        got = multimodal.decode_png(
+            multimodal.encode_png(px, filters=filters[:h]))
+        assert (got == px).all()
+except ImportError:  # pragma: no cover - hypothesis is baked in here
+    pass
