@@ -9,8 +9,11 @@
 Pipeline (one lazy plan + one packing pass): exact dedup -> quality gate
 -> optional decontamination / repetition caps / LM-perplexity cap /
 PII-density cap -> stratified sampling -> optional chunking (overlapping
-token windows; chunks never exceed the pack budget when --chunk-tokens
-<= --seq-len) -> sequence packing.  Writes:
+token windows) -> sequence packing.  Chunking bounds the packing unit:
+chunk windows count WHITESPACE tokens while the pack budget counts
+BPE-ish tokens (punctuation splits), so keep --seq-len >= ~2x
+--chunk-tokens and oversized packs are impossible in practice (the
+composition is pytest-pinned at that ratio).  Writes:
   <out>/curated/   (doc_id, source, lang, quality)
   <out>/chunks/    (doc_id, chunk_id, n_tokens, chunk_text) when chunking
   <out>/packs/     (unit ids, n_tokens, bucket, pack_id, oversized)
@@ -42,8 +45,9 @@ def main() -> None:
                          " placeholders (privacy.redact_pii counts)")
     ap.add_argument("--chunk-tokens", type=int, default=None,
                     help="chunk kept documents into windows of this many"
-                         " tokens before packing (packs then never see"
-                         " an oversized unit when <= --seq-len)")
+                         " whitespace tokens before packing; keep"
+                         " --seq-len >= ~2x this so the BPE-ish pack"
+                         " budget never sees an oversized unit")
     ap.add_argument("--chunk-overlap", type=int, default=16)
     ap.add_argument("--seq-len", type=int, default=2048)
     ap.add_argument("--pack-buckets", type=int, default=32)

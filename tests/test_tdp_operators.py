@@ -905,3 +905,22 @@ try:
         assert (got == px).all()
 except ImportError:  # pragma: no cover - hypothesis is baked in here
     pass
+
+
+def test_chunk_then_pack_composition_no_oversized(spark):
+    """The run_curate chunk->pack composition: chunk windows count
+    whitespace tokens, the pack budget counts BPE-ish tokens (punct
+    splits), so with seq_len >= 2x chunk_tokens every chunk fits and no
+    pack is oversized; every chunk is packed exactly once."""
+    from geonames_rdf_spark.operators import packing
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    chunks = packing.chunk_documents(docs, max_tokens=48, overlap=8)
+    pack_in = chunks.select(
+        (F.col("doc_id") * 1_048_576 + F.col("chunk_id")).alias("doc_id"),
+        F.col("chunk_text").alias("text"))
+    packed = packing.pack_sequences(pack_in, seq_len=96, n_buckets=8)
+    assert packed.count() == chunks.count()  # exactly-once
+    assert packed.filter("oversized").count() == 0
+    stats = packing.pack_stats(packed, seq_len=96)
+    assert stats.filter("total_tokens > 96").count() == 0
