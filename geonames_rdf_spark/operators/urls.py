@@ -1,0 +1,93 @@
+"""URL canonicalization + URL-level page dedup.
+
+The cheapest dedup pass a Common-Crawl-shaped corpus runs FIRST: the
+same page is crawled many times under trivially-different URLs (case in
+the host, default ports, `www.`, tracking params, fragments, trailing
+slashes).  Canonicalizing the URL and keeping one row per canonical
+form removes those before any text-level dedup spends a shuffle on
+them.
+
+Everything is a chain of ``regexp_replace``/``regexp_extract`` Column
+expressions (codegen, zero-shuffle for the normalize step; the dedup is
+one window keyed by the canonical url).  The transform chain is defined
+ONCE as ``_STEPS`` and rendered into both the Spark Column and the
+DuckDB twin (``url_oracle_expr``) so the two cannot drift — parity is
+pytest-pinned on adversarial URLs
+(`test_normalize_url_duck_parity`).
+
+Normalization rules, in order (each cites the common-crawler practice):
+
+1. strip the fragment (`#...` — never sent to the server);
+2. lowercase the scheme+authority (DNS is case-insensitive; paths are
+   NOT lowercased — they are case-sensitive on most origins);
+3. drop default ports (`:80` for http, `:443` for https);
+4. drop a leading `www.`;
+5. drop tracking query params (`utm_*`, `fbclid`, `gclid`);
+6. strip a trailing `?`/`&` left by (5) and collapse trailing slashes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+_TRACK = r"(utm_[a-z]+|fbclid|gclid)"
+
+# (pattern, spark_replacement, duckdb_replacement) applied in order to
+# the full URL (after the scheme+authority lowercasing step, which is
+# structural and handled separately in both renderings)
+_STEPS: list[tuple[str, str, str]] = [
+    (r"#.*$", "", ""),                                  # 1 fragment
+    (r"^(http://[^/]*):80(/|$)", "$1$2", r"\1\2"),      # 3 default port
+    (r"^(https://[^/]*):443(/|$)", "$1$2", r"\1\2"),
+    (r"^(https?://)www\.", "$1", r"\1"),                # 4 www.
+    (r"&" + _TRACK + r"=[^&]*", "", ""),                # 5 &utm_x=...
+    (r"\?" + _TRACK + r"=[^&]*&", "?", "?"),            # 5 ?utm_x=...&
+    (r"\?" + _TRACK + r"=[^&]*$", "", ""),              # 5 ?utm_x=...EOF
+    (r"[?&]+$", "", ""),                                # 6 dangling ? &
+    (r"([^/])/+$", "$1", r"\1"),                        # 6 trailing /
+]
+
+
+def normalize_url_expr(url: Column) -> Column:
+    """Canonical form of ``url`` as a Column expression (NULL-safe)."""
+    # lowercase scheme://authority, keep the rest byte-identical
+    prefix = F.regexp_extract(url, r"^([^/?#]*//[^/?#]*)", 1)
+    out = F.concat(F.lower(prefix),
+                   F.substring(url, F.length(prefix) + 1, F.lit(1 << 30)))
+    out = F.when(url.isNull(), F.lit(None).cast("string")).otherwise(out)
+    for pat, rep, _ in _STEPS:
+        out = F.regexp_replace(out, pat, rep)
+    return out
+
+
+def url_oracle_expr(col_sql: str) -> str:
+    """The DuckDB rendering of the SAME ``_STEPS`` chain (RE2
+    replacement syntax) — one SQL scalar expression."""
+    prefix = f"regexp_extract({col_sql}, '^([^/?#]*//[^/?#]*)', 1)"
+    out = (f"lower({prefix}) || substr({col_sql},"
+           f" len({prefix}) + 1)")
+    for pat, _, rep in _STEPS:
+        # standard SQL single-quoted literals pass backslashes through
+        # verbatim, so '\1' reaches RE2 as a group reference as-is
+        p = pat.replace("'", "''")
+        r = rep.replace("'", "''")
+        out = f"regexp_replace({out}, '{p}', '{r}', 'g')"
+    return f"CASE WHEN {col_sql} IS NULL THEN NULL ELSE {out} END"
+
+
+def dedup_pages_by_url(pages: DataFrame, url_col: str = "url",
+                       ts_col: str = "warc_ts") -> DataFrame:
+    """One row per canonical URL — the earliest capture wins (ties to
+    the lexicographically smallest raw url, so the survivor is
+    deterministic under any partitioning).  Adds ``url_canonical``;
+    keeps every input column.  One shuffle keyed by the canonical url.
+    """
+    norm = normalize_url_expr(F.col(url_col)).alias("url_canonical")
+    w = (Window.partitionBy("url_canonical")
+         .orderBy(F.col(ts_col).asc_nulls_last(), F.col(url_col).asc()))
+    return (pages.select("*", norm)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn"))

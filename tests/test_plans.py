@@ -148,3 +148,17 @@ def test_redact_pii_no_shuffle_no_python(spark):
     assert "Exchange" not in plan, plan
     for marker in ("ArrowEval", "BatchEval", "PythonUDF", "MapInPandas"):
         assert marker not in plan, plan
+
+
+def test_normalize_url_no_shuffle_dedup_single_exchange(spark):
+    """URL canonicalization is a zero-exchange codegen map; the URL-level
+    dedup adds exactly ONE exchange (the canonical-url window)."""
+    from geonames_rdf_spark.operators import urls
+
+    pages = spark.createDataFrame(
+        [("http://a.com/x", "t1")], "url string, warc_ts string")
+    norm = pages.select(urls.normalize_url_expr(F.col("url")))
+    plan_n = plan_of(norm)
+    assert "Exchange" not in plan_n and "PythonUDF" not in plan_n
+    plan_d = plan_of(urls.dedup_pages_by_url(pages))
+    assert plan_d.count("Exchange") == 1, plan_d

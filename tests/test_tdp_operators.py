@@ -924,3 +924,59 @@ def test_chunk_then_pack_composition_no_oversized(spark):
     assert packed.filter("oversized").count() == 0
     stats = packing.pack_stats(packed, seq_len=96)
     assert stats.filter("total_tokens > 96").count() == 0
+
+
+def test_normalize_url_duck_parity(spark, duck):
+    """normalize_url == the DuckDB rendering of the same _STEPS chain
+    on adversarial URLs; dedup keeps the earliest capture per canonical
+    form."""
+    import pandas as pd
+
+    from geonames_rdf_spark.operators import urls
+
+    raw = [
+        "HTTPS://WWW.Example.COM:443/Path/Page?utm_source=x&q=1#frag",
+        "https://example.com/Path/Page?q=1",
+        "http://EXAMPLE.com:80/",
+        "http://example.com",
+        "http://example.com/a/b/?utm_campaign=z",
+        "http://example.com/a/b",
+        "http://www.example.com/a/b///",
+        "https://other.org/X?fbclid=abc123",
+        "https://other.org/X?gclid=1&real=2&utm_term=q",
+        "https://other.org/X?real=2",
+        "http://host.io:8080/keep:port?x=1&y=2",
+        "ftp://weird.example/NoHttp#f",
+        "not a url at all",
+        None,
+    ]
+    pdf = pd.DataFrame({"doc_id": range(len(raw)), "url": raw})
+    d = spark.createDataFrame(pdf)
+    duck.register("url_fixture", pdf)
+    got = d.select("doc_id",
+                   urls.normalize_url_expr(F.col("url")).alias("canon"))
+    want = duck.execute(
+        "SELECT doc_id, " + urls.url_oracle_expr("url")
+        + " AS canon FROM url_fixture").df()
+    from tests.conftest import assert_df_parity
+    assert_df_parity(got, want)
+
+    canon = {r["doc_id"]: r["canon"] for r in got.collect()}
+    assert canon[0] == "https://example.com/Path/Page?q=1" == canon[1]
+    assert canon[2] == "http://example.com" == canon[3]
+    assert canon[4] == "http://example.com/a/b" == canon[5] == canon[6]
+    assert canon[7] == "https://other.org/X"
+    assert canon[8] == "https://other.org/X?real=2" == canon[9]
+    assert canon[10] == "http://host.io:8080/keep:port?x=1&y=2"
+    assert canon[13] is None
+
+    # dedup: earliest warc_ts survives per canonical url
+    pages = spark.createDataFrame(
+        [("https://EXAMPLE.com/p?utm_source=a", "2026-01-02", "late"),
+         ("https://example.com/p", "2026-01-01", "early"),
+         ("https://example.com/q", "2026-01-03", "other")],
+        "url string, warc_ts string, tag string")
+    kept = urls.dedup_pages_by_url(pages)
+    rows = {r["url_canonical"]: r["tag"] for r in kept.collect()}
+    assert rows == {"https://example.com/p": "early",
+                    "https://example.com/q": "other"}
