@@ -77,6 +77,24 @@ def main() -> None:
                                      include_feature_triples=False)
         return r["triples"].count()
 
+    # guard telemetry (VERDICT r05 #4): the measured dedup run carries an
+    # Observation so a corpus that trips the mega-bucket guard shows up
+    # in the bench JSON (oversized_rows > 0 = degraded recall, loud)
+    guard_stats: dict = {}
+
+    def minhash_observed():
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        n = dedup.minhash_near_dups(docs, threshold=0.5,
+                                    guard_observation=obs).count()
+        got = dict(obs.get)
+        guard_stats["dedup_minhash_lsh"] = {
+            "oversized_rows": int(got.get("oversized_rows", 0)),
+            "total_rows": int(got.get("total_rows", 0)),
+        }
+        return n
+
     # web_pipeline appears TWICE per pass (flagship number, and the one
     # that regressed under host noise in the round-3 driver window):
     # 2 x reps samples at different suite offsets make the minimum robust
@@ -91,8 +109,7 @@ def main() -> None:
         ("c9_museums_knn",
          lambda: workload.q_museums(kg, oracle.SEED_CITY).count()),
         ("c2_population_topk", lambda: workload.q_population(kg).count()),
-        ("dedup_minhash_lsh",
-         lambda: dedup.minhash_near_dups(docs, threshold=0.5).count()),
+        ("dedup_minhash_lsh", lambda: minhash_observed()),
         ("ann_knn_per_label",
          lambda: similarity.pairwise_topk_per_label_blas(emb, k=3).count()),
         ("web_pipeline", pipeline_run),
@@ -142,6 +159,46 @@ def main() -> None:
             "web_pages_per_sec": round(spages / web_s),
         }
 
+    # STREAMING soak (VERDICT r05 #6): the WARC drop-dir -> KG live-crawl
+    # path gets the same per-round regression tracking as the batch
+    # pipeline.  One pass: write the page corpus as gzip'd WARC archives,
+    # stream-parse + fused-link + epoch-sink until drained, report
+    # pages/s and triples/s end to end (parse included).
+    streaming: dict = {}
+    stream_pages = int(os.environ.get("BENCH_STREAM_PAGES", str(N_PAGES)))
+    if stream_pages > 0:
+        from geonames_rdf_spark.operators import build as b2
+        from geonames_rdf_spark.pipeline import corpus, mentions
+        from geonames_rdf_spark.sources import warc as warc_src
+        from geonames_rdf_spark.streaming import events as ev
+
+        feats = b2.gazetteer_tables(spark, SF_DIR)["features"]
+        surfaces = corpus.gazetteer_surfaces(feats)
+        pages = corpus.synthesize_pages(spark, surfaces, stream_pages)
+        n_archives = 16
+        drop = tempfile.mkdtemp(prefix="bench_warc_drop_")
+        warc_src.write_warc(pages.repartition(n_archives, "url"), drop)
+        smap = mentions.build_scored_surface_map(feats)
+        out = tempfile.mkdtemp(prefix="bench_warc_kg_")
+        t0 = time.time()
+        q = ev.run_stream_kg_warc(spark, drop, smap, out, n_buckets=16)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        dt = time.time() - t0
+        n_triples = ev.read_stream_kg(spark, out).count()
+        streaming = {
+            "archives": n_archives,
+            "pages": stream_pages,
+            "seconds": round(dt, 3),
+            "pages_per_sec": round(stream_pages / dt),
+            "triples": n_triples,
+            "triples_per_sec": round(n_triples / dt),
+        }
+        shutil.rmtree(drop, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "suite_seconds",
@@ -157,6 +214,10 @@ def main() -> None:
     }
     if steady:
         out["steady_state"] = steady
+    if streaming:
+        out["streaming"] = streaming
+    if guard_stats:
+        out["guards"] = guard_stats
     print(json.dumps(out))
     spark.stop()
 

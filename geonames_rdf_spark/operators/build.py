@@ -48,6 +48,41 @@ def gazetteer_tables(spark: SparkSession, sf_dir: str,
     }
 
 
+def gazetteer_tables_from_raw(spark: SparkSession,
+                              raw: dict[str, DataFrame]) -> dict:
+    """Derive the pre-shaped tables from a RAW gazetteer dict
+    (``features``, ``alt_names``, ``hierarchy_raw``, ``ags_map``) —
+    the hook for building a MUTATED dump world (delta/scoped-changelog
+    fixtures) without touching the session temp views.
+
+    The adm1/adm2 derivation mirrors ``synth.FEATURES_PLUS_SQL``
+    (download.sh:87); drift between the two renderings is caught by the
+    ``kg_scoped_changelog`` oracle row, which replays this whole chain
+    in DuckDB."""
+    features_raw = raw["features"]
+    features_plus = features_raw.selectExpr(
+        "*",
+        "country_code || '.' || admin1_code AS adm1",
+        "CASE WHEN admin2_code <> '' THEN country_code || '.' ||"
+        " admin1_code || '.' || admin2_code ELSE 'NONE' END AS adm2")
+    alt = preshape.semi_join_alt_names(raw["alt_names"], features_plus)
+    best = preshape.best_names(alt)
+    features_bn = preshape.with_best_name(features_plus, best)
+    country_codes = preshape.derive_country_codes(features_raw)
+    lookups = {lvl: preshape.derive_admin_lookup(features_raw, lvl)
+               for lvl in (1, 2, 3, 4)}
+    hierarchy = preshape.filter_country_hierarchy(raw["hierarchy_raw"],
+                                                  country_codes)
+    return {
+        "features": features_bn,
+        "alt_names": alt,
+        "country_codes": country_codes,
+        "admin_lookups": lookups,
+        "hierarchy": hierarchy,
+        "ags_map": raw["ags_map"],
+    }
+
+
 def feature_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = gazetteer_tables(spark, sf_dir)
     return places.feature_entities(

@@ -38,9 +38,42 @@ PII_PATTERNS: dict[str, str] = {
     "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
     # 9-16 digits allowing single space/dash/dot separators, optional +;
     # anchored on digit boundaries so it does not eat arbitrary numbers
-    # embedded in words
-    "phone": r"\b\+?\d(?:[ .-]?\d){8,15}\b",
+    # embedded in words.  The \b sits AFTER the optional '+' (ADVICE r05:
+    # \b\+? never held following whitespace — both sides non-word — so
+    # '+14155551234' left a stray '+' outside the placeholder).
+    "phone": r"\+?\b\d(?:[ .-]?\d){8,15}\b",
 }
+
+
+# Deterministic PII planted into every doc_id % PII_INJECT_MOD == 0 row
+# by the driver's text_quality_features oracle pair (the real documents
+# corpus is PII-free, so without injection the redaction row would prove
+# nothing: all counts 0, text unchanged).  One instance of each kind, in
+# a shape that survives the sequential count-then-redact contract.
+PII_INJECT_SUFFIX = (" contact sam.lee@mail.example.org from 10.1.2.3"
+                     " call +1 415-555-0199 ssn 123-45-6789")
+PII_INJECT_MOD = 7
+
+
+def inject_pii(docs: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Append ``PII_INJECT_SUFFIX`` to every ``id % PII_INJECT_MOD == 0``
+    document (NULL text stays NULL — ``concat`` propagates)."""
+    return docs.withColumn(
+        text_col,
+        F.when(F.col(id_col) % PII_INJECT_MOD == 0,
+               F.concat(F.col(text_col), F.lit(PII_INJECT_SUFFIX)))
+        .otherwise(F.col(text_col)))
+
+
+def inject_pii_sql(table: str = "documents", text_col: str = "text",
+                   id_col: str = "doc_id") -> str:
+    """DuckDB twin of ``inject_pii`` (``||`` propagates NULL like
+    ``concat``) — a derived-table SQL string."""
+    sfx = PII_INJECT_SUFFIX.replace("'", "''")
+    return (f"(SELECT * REPLACE (CASE WHEN {id_col} % {PII_INJECT_MOD} = 0"
+            f" THEN {text_col} || '{sfx}' ELSE {text_col} END"
+            f" AS {text_col}) FROM {table})")
 
 
 def redact_pii(docs: DataFrame, text_col: str = "text",

@@ -23,7 +23,16 @@ Normalization rules, in order (each cites the common-crawler practice):
 3. drop default ports (`:80` for http, `:443` for https);
 4. drop a leading `www.`;
 5. drop tracking query params (`utm_*`, `fbclid`, `gclid`);
-6. strip a trailing `?`/`&` left by (5) and collapse trailing slashes.
+6. strip a trailing `?`/`&` left by (5) and collapse trailing slashes;
+7. uppercase percent-encoding hex (`%7e` -> `%7E`, RFC 3986 §6.2.2.1)
+   — http(s) URLs only, structural (split/transform/join, not regex);
+8. sort query parameters byte-wise (`?b=2&a=1` -> `?a=1&b=2`) — the
+   highest-frequency reorder dup source after tracking params.
+
+Steps 2, 7, 8 are structural (they need extract/transform/sort, which a
+regexp_replace chain cannot express) and are hand-rendered twice; their
+cross-engine agreement is pinned by the adversarial parity test AND the
+driver's warc+url oracle row.
 """
 
 from __future__ import annotations
@@ -36,11 +45,14 @@ _TRACK = r"(utm_[a-z]+|fbclid|gclid)"
 
 # (pattern, spark_replacement, duckdb_replacement) applied in order to
 # the full URL (after the scheme+authority lowercasing step, which is
-# structural and handled separately in both renderings)
+# structural and handled separately in both renderings).  Port patterns
+# bound the authority with [^/?#] and accept '?' as a terminator
+# (ADVICE r05: ':80?x=1' kept its port, and a greedy [^/]* could strip
+# ':80' out of a query string).
 _STEPS: list[tuple[str, str, str]] = [
     (r"#.*$", "", ""),                                  # 1 fragment
-    (r"^(http://[^/]*):80(/|$)", "$1$2", r"\1\2"),      # 3 default port
-    (r"^(https://[^/]*):443(/|$)", "$1$2", r"\1\2"),
+    (r"^(http://[^/?#]*):80([/?]|$)", "$1$2", r"\1\2"),  # 3 default port
+    (r"^(https://[^/?#]*):443([/?]|$)", "$1$2", r"\1\2"),
     (r"^(https?://)www\.", "$1", r"\1"),                # 4 www.
     (r"&" + _TRACK + r"=[^&]*", "", ""),                # 5 &utm_x=...
     (r"\?" + _TRACK + r"=[^&]*&", "?", "?"),            # 5 ?utm_x=...&
@@ -48,6 +60,8 @@ _STEPS: list[tuple[str, str, str]] = [
     (r"[?&]+$", "", ""),                                # 6 dangling ? &
     (r"([^/])/+$", "$1", r"\1"),                        # 6 trailing /
 ]
+
+_HEX2 = r"^[0-9a-fA-F]{2}"
 
 
 def normalize_url_expr(url: Column) -> Column:
@@ -59,12 +73,35 @@ def normalize_url_expr(url: Column) -> Column:
     out = F.when(url.isNull(), F.lit(None).cast("string")).otherwise(out)
     for pat, rep, _ in _STEPS:
         out = F.regexp_replace(out, pat, rep)
+    # 7: %xx hex case — split on '%', uppercase each piece's leading hex
+    # pair, rejoin.  Gated to http(s) so the first piece always starts
+    # with 'h' (never itself a hex pair) and non-URL strings pass
+    # through untouched.
+    pct = F.array_join(
+        F.transform(
+            F.split(out, "%"),
+            lambda x: F.when(
+                x.rlike(_HEX2),
+                F.concat(F.upper(F.substring(x, 1, 2)),
+                         F.substring(x, 3, F.lit(1 << 30)))).otherwise(x)),
+        "%")
+    out = F.when(out.rlike(r"^https?://"), pct).otherwise(out)
+    # 8: byte-wise query-param sort (after tracking-param removal, so the
+    # sort never resurrects a stripped param's neighbors ordering)
+    qpos = F.locate("?", out)
+    sorted_q = F.array_join(
+        F.array_sort(F.split(F.substring(out, qpos + 1, F.lit(1 << 30)),
+                             "&")), "&")
+    out = F.when(
+        out.isNotNull() & (qpos > 0),
+        F.concat(F.substring(out, 1, qpos), sorted_q)).otherwise(out)
     return out
 
 
 def url_oracle_expr(col_sql: str) -> str:
-    """The DuckDB rendering of the SAME ``_STEPS`` chain (RE2
-    replacement syntax) — one SQL scalar expression."""
+    """The DuckDB rendering of the SAME chain (regex ``_STEPS`` in RE2
+    replacement syntax + the structural steps 2/7/8) — one SQL scalar
+    expression."""
     prefix = f"regexp_extract({col_sql}, '^([^/?#]*//[^/?#]*)', 1)"
     out = (f"lower({prefix}) || substr({col_sql},"
            f" len({prefix}) + 1)")
@@ -74,6 +111,21 @@ def url_oracle_expr(col_sql: str) -> str:
         p = pat.replace("'", "''")
         r = rep.replace("'", "''")
         out = f"regexp_replace({out}, '{p}', '{r}', 'g')"
+    # 7: %xx hex case (gated to http(s), mirroring the Spark rendering;
+    # the first split piece starts with 'h', never a hex pair)
+    pct = (f"array_to_string(list_transform(string_split(({out}), '%'),"
+           f" x -> CASE WHEN regexp_matches(x, '{_HEX2}')"
+           f" THEN upper(substr(x, 1, 2)) || substr(x, 3)"
+           f" ELSE x END), '%')")
+    out = (f"CASE WHEN regexp_matches(({out}), '^https?://')"
+           f" THEN ({pct}) ELSE ({out}) END")
+    # 8: byte-wise query-param sort
+    qpos = f"instr(({out}), '?')"
+    sorted_q = (f"array_to_string(list_sort(string_split("
+                f"substr(({out}), ({qpos}) + 1), '&')), '&')")
+    out = (f"CASE WHEN ({qpos}) > 0"
+           f" THEN substr(({out}), 1, ({qpos})) || ({sorted_q})"
+           f" ELSE ({out}) END")
     return f"CASE WHEN {col_sql} IS NULL THEN NULL ELSE {out} END"
 
 

@@ -294,8 +294,11 @@ def kg_prefix() -> str:
 
 
 def kg_sql(consolidated: bool = True, docs: bool = True, alt: bool = True,
-           ags: bool = True, ontology: bool = True) -> str:
-    """Oracle for build.build_kg with matching flags."""
+           ags: bool = True, ontology: bool = True,
+           prefix: str | None = None) -> str:
+    """Oracle for build.build_kg with matching flags.  ``prefix``
+    overrides the WITH-prolog (the scoped-changelog oracle passes the
+    MUTATED new-world prolog)."""
     from geonames_rdf_spark.sources import ontology as ont
 
     parts = [_feat_triples(consolidated)]
@@ -308,7 +311,51 @@ def kg_sql(consolidated: bool = True, docs: bool = True, alt: bool = True,
     if ontology:
         parts.append(ont.oracle_values_sql())
     body = "\nUNION ALL\n".join(parts)
-    return f"{kg_prefix()}\n{body}"
+    return f"{prefix or kg_prefix()}\n{body}"
+
+
+# --- r06 dump-mutation fixture (kg_scoped_changelog) -----------------------
+#
+# One deterministic "new dump" derived from the synthesized world,
+# touching EVERY closure rule of delta.affected_ids_from_dump_diff:
+# feature rows (bump + delete), alt rows (pruned with deleted features),
+# a hierarchy edge (drop child MUT_DROP_CHILD's country edge), and an
+# ags_map value (admin1 MUT_AGS_A1 -> MUT_AGS_NEW).  The Spark side
+# builds the same world with DataFrame ops (__spark_entry__); the two
+# renderings cannot drift silently — the driver hash-compares the
+# SCOPED Spark changelog against this FULL SQL changelog.
+
+MUT_POP_MOD = 7
+MUT_DEL_MOD = 5
+MUT_DROP_CHILD = 1
+MUT_AGS_A1 = "1"
+MUT_AGS_NEW = "99"
+
+
+def kg_prefix_mutated() -> str:
+    """New-world WITH-prolog: synth tables re-rendered under the r06
+    dump mutation, then the unchanged prep/wide/alt chain on top."""
+    parts = [
+        f"features_base AS (\n{synth.FEATURES_SQL.strip()}\n)",
+        ("features AS (SELECT * REPLACE (CASE WHEN geonameid % "
+         f"{MUT_POP_MOD} = 0 AND feature_class = 'P' THEN population + 1"
+         " ELSE population END AS population) FROM features_base"
+         f" WHERE NOT (geonameid % {MUT_DEL_MOD} = 0"
+         " AND feature_class = 'P'))"),
+        f"features_plus AS (\n{synth.FEATURES_PLUS_SQL.strip()}\n)",
+        f"alt_base AS (\n{synth.ALT_NAMES_SQL.strip()}\n)",
+        ("alt_names AS (SELECT * FROM alt_base WHERE geonameid IN"
+         " (SELECT geonameid FROM features))"),
+        (f"hierarchy_raw AS (SELECT * FROM (\n{synth.HIERARCHY_SQL.strip()}"
+         f"\n) WHERE childId <> {MUT_DROP_CHILD})"),
+        ("ags_map AS (SELECT admin1_code, CASE WHEN admin1_code = "
+         f"'{MUT_AGS_A1}' THEN '{MUT_AGS_NEW}' ELSE ags END AS ags FROM (\n"
+         f"{synth.AGS_MAP_SQL.strip()}\n))"),
+    ]
+    return ("WITH " + ",\n".join(parts)
+            + ",\n" + GAZ_PREP.strip()
+            + ",\n" + WIDE.strip()
+            + ",\n" + ALT_CLASS.strip())
 
 
 # --- query-workload oracles (SURVEY.md §2.C) -------------------------------

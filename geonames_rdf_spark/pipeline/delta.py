@@ -51,7 +51,9 @@ def affected_ids_from_dump_diff(
         old_alt: DataFrame | None = None,
         new_alt: DataFrame | None = None,
         old_hier: DataFrame | None = None,
-        new_hier: DataFrame | None = None) -> DataFrame:
+        new_hier: DataFrame | None = None,
+        old_ags: DataFrame | None = None,
+        new_ags: DataFrame | None = None) -> DataFrame:
     """Conservative SUPERSET of geonameids whose subjects' triples can
     differ between two dump versions — derived from the INPUT diff, so a
     narrow update scopes the changelog builds ∝ change size instead of
@@ -67,7 +69,12 @@ def affected_ids_from_dump_diff(
       superset without tracking which admin level changed);
     - a changed alternate-name row affects its feature's subject
       (bestName + alt triples);
-    - a changed hierarchy row affects both endpoints.
+    - a changed hierarchy row affects both endpoints (child's
+      parentFeature COALESCE reads the hierarchy join);
+    - a changed ags_map row affects every feature sharing its
+      admin1_code (the P439 lookup joins on admin1_code; country- and
+      class-filters only narrow that, so admin1-code-wide is a safe
+      superset).
     """
     fcols = old_features.columns
     fd = (old_features.select(*fcols).exceptAll(new_features.select(*fcols))
@@ -96,6 +103,17 @@ def affected_ids_from_dump_diff(
         for c in hcols[:2]:  # (parentid, childid)
             out = out.unionByName(
                 hd.select(F.col(c).alias("geonameid")))
+    if old_ags is not None and new_ags is not None:
+        gcols = old_ags.columns
+        gd = (old_ags.select(*gcols).exceptAll(new_ags.select(*gcols))
+              .unionByName(new_ags.select(*gcols)
+                           .exceptAll(old_ags.select(*gcols))))
+        changed_a1 = gd.select("admin1_code").distinct()
+        feats = old_features.select("geonameid", "admin1_code").unionByName(
+            new_features.select("geonameid", "admin1_code"))
+        out = out.unionByName(
+            feats.join(F.broadcast(changed_a1), "admin1_code", "left_semi")
+            .select("geonameid"))
     return out.distinct()
 
 
@@ -122,10 +140,25 @@ def scoped_changelog(spark: SparkSession, sf_dir: str,
     from geonames_rdf_spark.operators import build
 
     if affected is None:
+        # EVERY input table triples depend on feeds the affected set:
+        # features + alt_names (subject-own rows), hierarchy (the
+        # parentFeature join — ADVICE r05: a hierarchy-only refresh was
+        # silently missing from the scope), and ags_map (the P439
+        # admin1_code lookup).  admin_lookups / country_codes are
+        # DERIVED from features, so the feature diff (with its class-A
+        # country closure) already covers them.
         affected = affected_ids_from_dump_diff(
             tables_old["features"], tables_new["features"],
-            tables_old.get("alt_names"), tables_new.get("alt_names"))
-    affected = F.broadcast(affected.select("geonameid"))
+            tables_old.get("alt_names"), tables_new.get("alt_names"),
+            tables_old.get("hierarchy"), tables_new.get("hierarchy"),
+            tables_old.get("ags_map"), tables_new.get("ags_map"))
+    # localCheckpoint: (a) the set is consumed by BOTH scoped builds —
+    # without pinning, each build re-runs the whole input diff; (b) its
+    # plan references the same ags_map/hierarchy relations the builds
+    # re-join, and re-using those attribute ids inside the semi-join
+    # subtree trips AMBIGUOUS_REFERENCE in the analyzer
+    affected = F.broadcast(
+        affected.select("geonameid").localCheckpoint(eager=True))
 
     def scope(t: dict) -> dict:
         s = dict(t)

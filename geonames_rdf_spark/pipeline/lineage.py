@@ -133,3 +133,31 @@ def run_with_lineage(
 
 def read_triples(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.read.parquet(f"{out_dir}/triples").drop("bucket")
+
+
+# --- guard telemetry (VERDICT r05 #4) --------------------------------------
+
+def write_guard_metrics(spark: SparkSession, out_dir: str, name: str,
+                        observation) -> dict:
+    """Persist a dedup guard ``Observation`` (oversized_rows,
+    total_rows — see ``dedup._guard_oversized_buckets``) as a row of the
+    run's metrics table, ``<out>/metrics/name=<name>/``.
+
+    The LSH guards degrade RECALL silently when they split/drop a
+    mega-bucket; at production scale that must land in the run's
+    persisted metrics, not in a log line nobody reads.  Call AFTER the
+    action that materialized the observed plan (observe() rides the
+    action).  Per-name private directories — the same concurrent-writer
+    safety as the lineage rows.  Returns the metrics dict written.
+    """
+    got = dict(observation.get)
+    row = spark.createDataFrame(
+        [(int(got.get("oversized_rows", 0)), int(got.get("total_rows", 0)))],
+        "oversized_rows bigint, total_rows bigint")
+    row.coalesce(1).write.mode("overwrite").parquet(
+        f"{out_dir}/metrics/name={name}")
+    return got
+
+
+def read_guard_metrics(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{out_dir}/metrics")

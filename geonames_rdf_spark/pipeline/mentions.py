@@ -268,13 +268,28 @@ def detect_and_link(pages,
         if bundle_bc is not None:
             raise ValueError("pass bundle_bc or bundle_file, not both")
         name = os.path.basename(bundle_file)
+        path = os.path.abspath(bundle_file)
+        # keyed by BASENAME, not path: SparkFiles resolves files by
+        # basename, so two different bundles sharing a basename in one
+        # SparkContext would silently serve the first file to workers
+        # (or fail the second addFile) — refuse loudly instead
+        # (ADVICE r05).
         added = getattr(spark.sparkContext, "_graft_shipped_bundles", None)
         if added is None:
-            added = set()
+            added = {}
             spark.sparkContext._graft_shipped_bundles = added
-        if bundle_file not in added:
+        prev = added.get(name)
+        if prev is None:
             spark.sparkContext.addFile(bundle_file)
-            added.add(bundle_file)
+            added[name] = path
+        elif prev != path:
+            raise ValueError(
+                f"detect_and_link: a different bundle path ({prev}) was"
+                f" already shipped under basename {name!r} in this"
+                " SparkContext; SparkFiles resolves by basename, so the"
+                f" new path ({path}) cannot be distinguished on workers."
+                " Write bundles under unique filenames (e.g. embed a"
+                " content hash).")
         bc = None
     elif bundle_bc is not None:
         bundled_map = bundle_bc.value[1]

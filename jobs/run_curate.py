@@ -9,11 +9,12 @@
 Pipeline (one lazy plan + one packing pass): exact dedup -> quality gate
 -> optional decontamination / repetition caps / LM-perplexity cap /
 PII-density cap -> stratified sampling -> optional chunking (overlapping
-token windows) -> sequence packing.  Chunking bounds the packing unit:
-chunk windows count WHITESPACE tokens while the pack budget counts
-BPE-ish tokens (punctuation splits), so keep --seq-len >= ~2x
---chunk-tokens and oversized packs are impossible in practice (the
-composition is pytest-pinned at that ratio).  Writes:
+token windows) -> sequence packing.  Chunking bounds the packing unit
+EXACTLY: both stages count the same token_count whitespace unit, and the
+packer budgets on the chunker's own n_tokens (count_col), so any
+--seq-len >= --chunk-tokens guarantees zero oversized packs (margin 1x,
+pytest-pinned; the old "~2x margin" rule stemmed from a docstring that
+misdescribed the pack budget as BPE-ish — retired in r06).  Writes:
   <out>/curated/   (doc_id, source, lang, quality)
   <out>/chunks/    (doc_id, chunk_id, n_tokens, chunk_text) when chunking
   <out>/packs/     (unit ids, n_tokens, bucket, pack_id, oversized)
@@ -45,9 +46,9 @@ def main() -> None:
                          " placeholders (privacy.redact_pii counts)")
     ap.add_argument("--chunk-tokens", type=int, default=None,
                     help="chunk kept documents into windows of this many"
-                         " whitespace tokens before packing; keep"
-                         " --seq-len >= ~2x this so the BPE-ish pack"
-                         " budget never sees an oversized unit")
+                         " whitespace tokens before packing; any"
+                         " --seq-len >= this guarantees zero oversized"
+                         " packs (same token unit end to end)")
     ap.add_argument("--chunk-overlap", type=int, default=16)
     ap.add_argument("--seq-len", type=int, default=2048)
     ap.add_argument("--pack-buckets", type=int, default=32)
@@ -77,23 +78,32 @@ def main() -> None:
 
     kept_docs = docs.join(curated.select("doc_id"), "doc_id", "left_semi")
     n_chunks = None
+    count_col = None
     if args.chunk_tokens is not None:
+        if args.seq_len < args.chunk_tokens:
+            raise SystemExit(
+                f"--seq-len ({args.seq_len}) must be >= --chunk-tokens"
+                f" ({args.chunk_tokens}): both count the same token unit,"
+                " so a window can never fit a smaller budget")
         chunks = packing.chunk_documents(
             kept_docs, max_tokens=args.chunk_tokens,
             overlap=args.chunk_overlap)
         chunks.write.mode("overwrite").parquet(f"{args.out}/chunks")
         chunks = spark.read.parquet(f"{args.out}/chunks")
         n_chunks = chunks.count()
-        # pack the CHUNKS: unit id = doc_id * 2^20 + chunk_id (chunk_id
-        # is bounded far below 2^20 for any realistic document)
+        # pack the CHUNKS on their own n_tokens (single-sourced token
+        # unit); unit id = doc_id * 2^20 + chunk_id (chunk_id is bounded
+        # far below 2^20 for any realistic document)
         pack_in = chunks.select(
             (F.col("doc_id") * 1_048_576 + F.col("chunk_id"))
             .alias("doc_id"),
-            F.col("chunk_text").alias("text"))
+            "n_tokens")
+        count_col = "n_tokens"
     else:
         pack_in = kept_docs
     packed = packing.pack_sequences(pack_in, seq_len=args.seq_len,
-                                    n_buckets=args.pack_buckets)
+                                    n_buckets=args.pack_buckets,
+                                    count_col=count_col)
     packed.write.mode("overwrite").parquet(f"{args.out}/packs")
     packed = spark.read.parquet(f"{args.out}/packs")
     stats = packing.pack_stats(packed, seq_len=args.seq_len)

@@ -47,6 +47,14 @@ def main() -> None:
                     help="final serialization: splittable N-Triples"
                          " (default) or the reference's Turtle form"
                          " (each part file a valid document, concat-safe)")
+    ap.add_argument("--matcher-bundle", default=None,
+                    help="path to a matcher bundle: if the file exists it"
+                         " is SHIPPED via SparkFiles (skipping the per-job"
+                         " driver collect + broadcast — measured 156s /"
+                         " +2.2GB at x256 gazetteer scale, BENCH.md); if"
+                         " it does not exist yet, this job builds the map"
+                         " once and WRITES the bundle there for the next"
+                         " job (the build-once deployment shape)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -60,18 +68,32 @@ def main() -> None:
     spark = SparkSession.builder.appName("kg-construct").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    import os
+
     tables = build.gazetteer_tables(spark, args.sf_dir)
     feats = tables["features"].cache()
     surfaces = corpus.gazetteer_surfaces(feats)
-    smap = mentions.build_scored_surface_map(feats)
-    # matcher + scored map broadcast ONCE for the whole bucket loop
-    # (BENCH.md: a fresh broadcast per scan re-pays the per-worker
-    # unpickle/compile); extraction is FUSED into the scan (one Python
-    # hop per task slot — the measured production shape)
-    from geonames_rdf_spark.pipeline.matcher import build_matcher
+    smap, bundle_bc, bundle_file = None, None, None
+    if args.matcher_bundle and os.path.exists(args.matcher_bundle):
+        # build-once path: ship the pre-built bundle file (SparkFiles,
+        # once per executor) — no driver collect, no per-job broadcast
+        bundle_file = args.matcher_bundle
+    else:
+        smap = mentions.build_scored_surface_map(feats)
+        if args.matcher_bundle:
+            # first job: persist the bundle so every LATER job skips the
+            # collect (run the same command again to use it)
+            info = mentions.save_matcher_bundle(smap, args.matcher_bundle)
+            print(json.dumps({"matcher_bundle_written": args.matcher_bundle,
+                              **info}))
+        # matcher + scored map broadcast ONCE for the whole bucket loop
+        # (BENCH.md: a fresh broadcast per scan re-pays the per-worker
+        # unpickle/compile); extraction is FUSED into the scan (one
+        # Python hop per task slot — the measured production shape)
+        from geonames_rdf_spark.pipeline.matcher import build_matcher
 
-    bundle_bc = spark.sparkContext.broadcast(
-        (build_matcher({k: [] for k in smap}), smap))
+        bundle_bc = spark.sparkContext.broadcast(
+            (build_matcher({k: [] for k in smap}), smap))
 
     if args.pages_table:
         # production path: scan the stored corpus (Iceberg table name or
@@ -94,7 +116,8 @@ def main() -> None:
 
     def triples_for(subset):
         linked = mentions.detect_and_link(subset, smap, from_html=True,
-                                          bundle_bc=bundle_bc)
+                                          bundle_bc=bundle_bc,
+                                          bundle_file=bundle_file)
         if mapping is not None:
             from geonames_rdf_spark.pipeline import canonicalize
 

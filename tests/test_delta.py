@@ -166,3 +166,45 @@ def test_delta_scoped_changelog_narrow_update(spark):
     assert full2.count() > 0
     assert scoped2.exceptAll(full2).count() == 0
     assert full2.exceptAll(scoped2).count() == 0
+
+
+def test_delta_scoped_changelog_hierarchy_and_ags_only(spark):
+    """A dump refresh that changes ONLY the hierarchy table, or ONLY the
+    AGS map, with features/alt_names byte-identical — the ADVICE r05
+    repro: the default affected set used to diff only features/alt, so
+    these changelogs came back empty while the full diff was not."""
+    tables_old = build.gazetteer_tables(spark, SF)
+    old = build.build_kg(spark, SF, tables=tables_old)
+
+    # hierarchy-only: drop the country edge of child 1 (a PCLI row whose
+    # parent_admin is unbound, so final_parent reads the hierarchy join
+    # and the dropped edge is visible in the output)
+    tables_h = dict(tables_old)
+    tables_h["hierarchy"] = tables_old["hierarchy"].filter(
+        F.col(tables_old["hierarchy"].columns[1]) != 1)
+    new_h = build.build_kg(spark, SF, tables=tables_h)
+    full_h = delta.triple_changelog(old, new_h).localCheckpoint(eager=True)
+    assert full_h.count() > 0  # the mutation is visible in the output
+    scoped_h = delta.scoped_changelog(spark, SF, tables_old, tables_h)
+    assert scoped_h.exceptAll(full_h).count() == 0
+    assert full_h.exceptAll(scoped_h).count() == 0
+
+    # ags-only: rewrite one admin1_code's AGS value -> every ADM feature
+    # resolving through that admin1_code emits a different P439 triple
+    tables_g = dict(tables_old)
+    tables_g["ags_map"] = tables_old["ags_map"].withColumn(
+        "ags", F.when(F.col("admin1_code") == "1", F.lit("99"))
+        .otherwise(F.col("ags")))
+    new_g = build.build_kg(spark, SF, tables=tables_g)
+    full_g = delta.triple_changelog(old, new_g).localCheckpoint(eager=True)
+    assert full_g.count() > 0
+    scoped_g = delta.scoped_changelog(spark, SF, tables_old, tables_g)
+    assert scoped_g.exceptAll(full_g).count() == 0
+    assert full_g.exceptAll(scoped_g).count() == 0
+    # and the scope stayed narrow (the point of the input-diff prune)
+    affected = delta.affected_ids_from_dump_diff(
+        tables_old["features"], tables_g["features"],
+        tables_old["alt_names"], tables_g["alt_names"],
+        tables_old["hierarchy"], tables_g["hierarchy"],
+        tables_old["ags_map"], tables_g["ags_map"])
+    assert affected.count() < tables_old["features"].count() / 2

@@ -88,6 +88,35 @@ def test_lsh_bucket_guard_bounds_pathological_bucket(spark):
     assert n_drop == 0  # the only bucket was oversized and is skipped
 
 
+def test_guard_telemetry_lands_in_lineage_metrics(spark, tmp_path):
+    """VERDICT r05 #4 end to end: a flood run's guard observation is
+    PERSISTED to the run's metrics table, so silent recall degradation
+    (split/dropped mega-buckets) is visible in production output, not
+    just in a transient Observation object."""
+    from pyspark.sql import Observation
+
+    from geonames_rdf_spark.pipeline import lineage
+
+    d = spark.createDataFrame(
+        [(i, "the same boilerplate text repeated here") for i in range(400)],
+        ["doc_id", "text"],
+    )
+    sigs = dedup.minhash_signatures(d).localCheckpoint()
+    obs = Observation("guard_metrics_test")
+    dedup.lsh_candidate_pairs(
+        sigs, max_bucket=50, oversize="split", guard_observation=obs).count()
+    out = str(tmp_path / "run")
+    got = lineage.write_guard_metrics(spark, out, "minhash_lsh", obs)
+    assert got["oversized_rows"] > 0
+    rows = {r["name"]: r for r in
+            lineage.read_guard_metrics(spark, out).collect()}
+    assert rows["minhash_lsh"]["oversized_rows"] == got["oversized_rows"]
+    assert rows["minhash_lsh"]["total_rows"] == 400 * 16
+    # idempotent per-name overwrite (re-run converges, no dup rows)
+    lineage.write_guard_metrics(spark, out, "minhash_lsh", obs)
+    assert lineage.read_guard_metrics(spark, out).count() == 1
+
+
 def test_simhash_blocking_stays_linear_on_hot_chunk(spark):
     """The adversarial corpus for the OLD one-chunk blocking key: 2000
     distinct simhash values all sharing their low 16 bits.  A 16-bit
@@ -907,23 +936,80 @@ except ImportError:  # pragma: no cover - hypothesis is baked in here
     pass
 
 
-def test_chunk_then_pack_composition_no_oversized(spark):
-    """The run_curate chunk->pack composition: chunk windows count
-    whitespace tokens, the pack budget counts BPE-ish tokens (punct
-    splits), so with seq_len >= 2x chunk_tokens every chunk fits and no
-    pack is oversized; every chunk is packed exactly once."""
+def test_chunk_then_pack_composition_margin_1x(spark):
+    """The run_curate chunk->pack composition at MARGIN 1x (VERDICT r05
+    #3): both stages count the SAME unit — token_count whitespace tokens
+    — and the packer budgets on the chunker's own n_tokens via
+    count_col, so seq_len == chunk max_tokens packs with ZERO oversized;
+    every chunk is packed exactly once.  Also pins the unit identity
+    itself: token_count(chunk_text) == n_tokens for every chunk."""
     from geonames_rdf_spark.operators import packing
+    from geonames_rdf_spark.operators.textstats import token_count
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     chunks = packing.chunk_documents(docs, max_tokens=48, overlap=8)
+    # unit identity: rejoined chunk text re-tokenizes to exactly n_tokens
+    assert chunks.filter(
+        token_count(F.col("chunk_text")) != F.col("n_tokens")).count() == 0
     pack_in = chunks.select(
         (F.col("doc_id") * 1_048_576 + F.col("chunk_id")).alias("doc_id"),
-        F.col("chunk_text").alias("text"))
-    packed = packing.pack_sequences(pack_in, seq_len=96, n_buckets=8)
+        "n_tokens")
+    packed = packing.pack_sequences(pack_in, seq_len=48, n_buckets=8,
+                                    count_col="n_tokens")
     assert packed.count() == chunks.count()  # exactly-once
     assert packed.filter("oversized").count() == 0
-    stats = packing.pack_stats(packed, seq_len=96)
-    assert stats.filter("total_tokens > 96").count() == 0
+    stats = packing.pack_stats(packed, seq_len=48)
+    assert stats.filter("total_tokens > 48").count() == 0
+    # count_col path == retokenize path (same budget unit end to end)
+    via_text = packing.pack_sequences(
+        chunks.select((F.col("doc_id") * 1_048_576 + F.col("chunk_id"))
+                      .alias("doc_id"),
+                      F.col("chunk_text").alias("text")),
+        seq_len=48, n_buckets=8)
+    assert via_text.exceptAll(packed).count() == 0
+    assert packed.exceptAll(via_text).count() == 0
+
+
+def test_pack_sequences_group_size_guard(spark):
+    """VERDICT r05 #1: a bucket must never materialize unboundedly as
+    one pandas frame.  raise mode fails loudly; split mode bounds every
+    applyInPandas group at ~max_group_rows while keeping packing
+    exactly-once, budget-respecting, deterministic, and pack-id-unique
+    across sub-streams."""
+    import pytest as _pt
+
+    from geonames_rdf_spark.operators import packing
+
+    # n_buckets=1: the pathological single-stream corpus
+    docs = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("tok "), F.lit("word "), F.col("id").cast("string"))
+        .alias("text"))
+    with _pt.raises(ValueError, match="max_group_rows"):
+        packing.pack_sequences(docs, seq_len=16, n_buckets=1,
+                               max_group_rows=500, on_oversize="raise")
+
+    packed = packing.pack_sequences(docs, seq_len=16, n_buckets=1,
+                                    max_group_rows=500)
+    assert packed.count() == 2000                       # exactly-once
+    assert packed.select("doc_id").distinct().count() == 2000
+    stats = packing.pack_stats(packed, seq_len=16)
+    assert stats.filter("total_tokens > 16").count() == 0
+    # sub-streams are disjoint pack-id ranges: no pack mixes streams
+    # (pack_id >> 40 is the stream id; 2000/500 -> 4 streams)
+    streams = {r[0] for r in
+               packed.select((F.col("pack_id") / (1 << 40)).cast("int"))
+               .distinct().collect()}
+    assert len(streams) == 4
+    # deterministic under re-partitioning
+    again = packing.pack_sequences(docs.repartition(7), seq_len=16,
+                                   n_buckets=1, max_group_rows=500)
+    assert again.exceptAll(packed).count() == 0
+    assert packed.exceptAll(again).count() == 0
+    # guard silent below threshold: default params leave packing unsplit
+    quiet = packing.pack_sequences(docs, seq_len=16, n_buckets=1)
+    assert quiet.select(F.max(F.col("pack_id") / (1 << 40)).cast("int")) \
+                .collect()[0][0] == 0
 
 
 def test_normalize_url_duck_parity(spark, duck):
@@ -949,6 +1035,13 @@ def test_normalize_url_duck_parity(spark, duck):
         "ftp://weird.example/NoHttp#f",
         "not a url at all",
         None,
+        # r06 additions — port before query (ADVICE r05), ':80' inside a
+        # query string must survive, %xx case, query-param sort
+        "http://example.com:80?x=1",
+        "http://example.com/a?x=1:80/path",
+        "https://other.org/P?b=2&a=%7e1",
+        "HTTPS://Other.ORG/%2fpath%Ab?z=9&utm_source=t&a=2",
+        "deadbeef%2f not-http stays untouched",
     ]
     pdf = pd.DataFrame({"doc_id": range(len(raw)), "url": raw})
     d = spark.createDataFrame(pdf)
@@ -969,6 +1062,11 @@ def test_normalize_url_duck_parity(spark, duck):
     assert canon[8] == "https://other.org/X?real=2" == canon[9]
     assert canon[10] == "http://host.io:8080/keep:port?x=1&y=2"
     assert canon[13] is None
+    assert canon[14] == "http://example.com?x=1"          # :80 before '?'
+    assert canon[15] == "http://example.com/a?x=1:80/path"  # :80 in query
+    assert canon[16] == "https://other.org/P?a=%7E1&b=2"  # %case + sort
+    assert canon[17] == "https://other.org/%2Fpath%AB?a=2&z=9"
+    assert canon[18] == "deadbeef%2f not-http stays untouched"
 
     # dedup: earliest warc_ts survives per canonical url
     pages = spark.createDataFrame(
