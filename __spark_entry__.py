@@ -209,30 +209,39 @@ def _emb(spark, sf_dir):
 
 
 def _q_token_counts(spark, sf_dir):
-    # whitespace + BPE-ish token counts in ONE query (merged r04: the
-    # driver records at most 50 queries, so the two single-column counts
-    # share a row — zero coverage lost, and the 51st contract entry
-    # (kg_posthoc_consolidate) gets back onto the official scoreboard)
+    # whitespace + BPE-ish token counts + OOV signals in ONE query
+    # (merged r04/r06: the driver records at most 50 queries; the freed
+    # oov row carries the r05 chunk_documents operator)
+    from geonames_rdf_spark.operators import textstats
     from geonames_rdf_spark.operators.textstats import (bpe_token_count,
                                                         token_count)
 
-    return _docs(spark, sf_dir).select(
+    d = _docs(spark, sf_dir)
+    tc = d.select(
         "doc_id",
         token_count(F.col("text")).alias("n_tokens"),
         bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
     )
+    # top_k=10 < the synthetic corpus's 31 distinct tokens, so the OOV
+    # branch is genuinely exercised (not all-in-vocab)
+    ov = textstats.oov_rate(d, top_k=10).select("doc_id", "n_oov",
+                                                "oov_rate")
+    return tc.join(ov, "doc_id")
 
 
 def _q_quality(spark, sf_dir):
-    # merged r05 (driver caps at 50 recorded queries): quality features +
-    # composite score + Gopher repetition signals share one row — three
-    # operators, one schema, zero coverage lost
-    from geonames_rdf_spark.operators import textstats
+    # merged r05/r06 (driver caps at 50 recorded queries): quality
+    # features + composite score + Gopher repetition + PII redaction
+    # share one row.  PII runs over the PII-INJECTED corpus (the raw
+    # corpus is PII-free — all-zero counts would prove nothing);
+    # quality features stay on the original text.
+    from geonames_rdf_spark.operators import privacy, textstats
 
     d = _docs(spark, sf_dir)
     return (textstats.quality_features(d)
             .join(textstats.quality_score(d), "doc_id")
-            .join(textstats.repetition_stats(d), "doc_id"))
+            .join(textstats.repetition_stats(d), "doc_id")
+            .join(privacy.redact_pii(privacy.inject_pii(d)), "doc_id"))
 
 
 def _q_fingerprints(spark, sf_dir):
@@ -285,48 +294,98 @@ def _q_pack_sequences(spark, sf_dir):
                                   n_buckets=4)
 
 
-def _q_warc_roundtrip(spark, sf_dir):
-    """WARC sink -> source round trip: documents materialized as gzip'd
-    WARC archives (HTTP preamble, Content-Length framing), parsed back,
-    and value-compared against the rows that went in."""
+def _q_warc_url_roundtrip(spark, sf_dir):
+    """WARC sink -> source round trip COMPOSED with r05/r06 URL
+    canonicalization + earliest-capture dedup: a noisy-URL page corpus
+    (tracking params, %xx case, unsorted query, www./port/slash noise,
+    duplicate captures both later AND earlier than their primary) is
+    materialized as gzip'd WARC archives (HTTP preamble, Content-Length
+    framing), parsed back, canonicalized, and deduped — one row per
+    canonical URL, survivor = earliest capture."""
     import tempfile
 
+    from geonames_rdf_spark.operators import urls
     from geonames_rdf_spark.sources import warc
 
-    pages = _docs(spark, sf_dir).select(
-        F.concat(F.lit("https://example.org/doc/"),
-                 F.col("doc_id").cast("string")).alias("url"),
-        F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id"))
-        .alias("warc_ts"),
-        F.encode(F.col("text"), "UTF-8").alias("html"),
-    )
+    d = _docs(spark, sf_dir)
+    idstr = F.col("doc_id").cast("string")
+    epoch = F.lit(oracle._WARC_EPOCH)
+    url_primary = (
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit("HTTPS://WWW.example.org:443/doc/"), idstr,
+                        F.lit("?utm_source=x&b=2&a=%7e1#frag")))
+        .when(F.col("doc_id") % 3 == 1,
+              F.concat(F.lit("https://example.org/doc/"), idstr,
+                       F.lit("/")))
+        .otherwise(F.concat(F.lit("https://example.org/doc/"), idstr)))
+    primary = d.select(
+        url_primary.alias("url"),
+        F.timestamp_seconds(epoch + F.col("doc_id")).alias("warc_ts"),
+        F.encode(F.col("text"), "UTF-8").alias("html"))
+    dup = d.filter(F.col("doc_id") % 5 == 0).select(
+        F.concat(F.lit("HTTPS://WWW.Example.ORG:443/doc/"), idstr,
+                 F.lit("///")).alias("url"),
+        F.timestamp_seconds(
+            epoch + F.col("doc_id")
+            + F.when(F.col("doc_id") % 10 == 0, F.lit(-50))
+            .otherwise(F.lit(100))).alias("warc_ts"),
+        F.encode(F.concat(F.lit("dup "), F.col("text")), "UTF-8")
+        .alias("html"))
     out = tempfile.mkdtemp(prefix="warc_oracle_")
-    warc.write_warc(pages.repartition(4, "url"), out)
-    return warc.read_warc(spark, out + "/*.warc.gz").select(
-        "url",
+    warc.write_warc(primary.unionByName(dup).repartition(4, "url"), out)
+    back = warc.read_warc(spark, out + "/*.warc.gz")
+    kept = urls.dedup_pages_by_url(back, url_col="url", ts_col="warc_ts")
+    return kept.select(
+        "url", "url_canonical",
         F.unix_micros(F.col("warc_ts").cast("timestamp_ltz")).alias("ts_us"),
         F.col("html").cast("string").alias("text"),
     )
 
 
-def _q_kg_delta_changelog(spark, sf_dir):
-    """Incremental-maintenance changelog between two KG worlds (old =
-    full consolidated build, new = unconsolidated without doc triples),
-    so the multiset diff carries both adds and dels."""
+def _q_kg_scoped_changelog(spark, sf_dir):
+    """Incremental maintenance via the SCOPED changelog (r05 operator,
+    r06 oracle-covered): a deterministic 'new dump' mutates feature rows
+    (population bump + P-row deletes), prunes their alt rows, drops a
+    hierarchy edge, and rewrites an ags_map value — exercising every
+    closure rule of ``affected_ids_from_dump_diff``.  The Spark side
+    builds the changelog from input-diff-SCOPED builds; the DuckDB twin
+    computes the FULL two-world changelog, so the driver hash match IS
+    the scoped == full exactness proof."""
     from geonames_rdf_spark.pipeline import delta
 
-    old = build.build_kg(spark, sf_dir)
-    new = build.build_kg(spark, sf_dir, consolidate=False,
-                         include_docs=False)
-    return delta.triple_changelog(old, new)
+    tables_old = build.gazetteer_tables(spark, sf_dir)
+    gaz = synth.register_gazetteer(spark, sf_dir)
+    f = gaz["features"]
+    mutated = (
+        f.withColumn(
+            "population",
+            F.when((F.col("geonameid") % oracle.MUT_POP_MOD == 0)
+                   & (F.col("feature_class") == "P"),
+                   F.col("population") + 1).otherwise(F.col("population")))
+        .filter(~((F.col("geonameid") % oracle.MUT_DEL_MOD == 0)
+                  & (F.col("feature_class") == "P"))))
+    raw_new = {
+        "features": mutated,
+        "alt_names": gaz["alt_names"].join(
+            mutated.select("geonameid"), "geonameid", "left_semi"),
+        "hierarchy_raw": gaz["hierarchy_raw"].filter(
+            F.col("childId") != oracle.MUT_DROP_CHILD),
+        "ags_map": gaz["ags_map"].withColumn(
+            "ags", F.when(F.col("admin1_code") == oracle.MUT_AGS_A1,
+                          F.lit(oracle.MUT_AGS_NEW))
+            .otherwise(F.col("ags"))),
+    }
+    tables_new = build.gazetteer_tables_from_raw(spark, raw_new)
+    return delta.scoped_changelog(spark, sf_dir, tables_old, tables_new)
 
 
-def _q_oov_rate(spark, sf_dir):
-    from geonames_rdf_spark.operators import textstats
+def _q_chunk_documents(spark, sf_dir):
+    """Token-window chunking (r05 operator, r06 oracle-covered):
+    overlapping whitespace-token windows, zero-shuffle Column plan."""
+    from geonames_rdf_spark.operators import packing
 
-    # top_k=10 < the synthetic corpus's 31 distinct tokens, so the OOV
-    # branch is genuinely exercised (not all-in-vocab)
-    return textstats.oov_rate(_docs(spark, sf_dir), top_k=10)
+    return packing.chunk_documents(_docs(spark, sf_dir), max_tokens=32,
+                                   overlap=8)
 
 
 def _q_corpus_composition(spark, sf_dir):
@@ -504,13 +563,13 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprints": _q_fingerprints,
         "text_lang_signals": _q_lang_signals,
         "text_lm_decontam": _q_lm_decontam,
-        "text_oov_rate": _q_oov_rate,
+        "chunk_documents": _q_chunk_documents,
         "corpus_composition": _q_corpus_composition,
         "sample_stratified": _q_sample_stratified,
         "curate_corpus": _q_curate_corpus,
         "pack_sequences": _q_pack_sequences,
-        "warc_roundtrip": _q_warc_roundtrip,
-        "kg_delta_changelog": _q_kg_delta_changelog,
+        "warc_url_roundtrip": _q_warc_url_roundtrip,
+        "kg_scoped_changelog": _q_kg_scoped_changelog,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_minhash,
         "dedup_simhash": _q_simhash,

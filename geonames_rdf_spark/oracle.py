@@ -738,35 +738,101 @@ FROM st WHERE rn > 0
 """
 
 
-def _warc_roundtrip_sql(epoch: int = 1704067200) -> str:
-    """Oracle for the WARC write->read round trip: the Spark side
-    materializes documents as a WARC archive set and parses it back; the
-    twin states what must come out — the URL/timestamp/body constructed
-    from the same rows (fidelity through headers, Content-Length framing,
-    gzip, and the HTTP preamble is exactly what's under test)."""
+# Noisy-URL page corpus for the WARC+URL oracle row (r06): primary
+# captures under three URL shapes (tracking params + %xx + unsorted
+# query + fragment / trailing slash / clean), plus a second capture of
+# every doc_id % 5 == 0 page under a fourth noisy shape.  doc_id % 10
+# == 0 dups are EARLIER than their primary (the dup wins), the rest are
+# later (the primary wins) — both earliest-capture branches fire.
+_WARC_EPOCH = 1704067200
+
+
+def _warc_url_roundtrip_sql() -> str:
+    """Oracle for the WARC write->read round trip COMPOSED with URL
+    canonicalization + earliest-capture dedup: the Spark side
+    materializes the noisy-URL corpus as gzip'd WARC archives, parses
+    it back, canonicalizes, and keeps one row per canonical URL; the
+    twin states what must come out.  WARC fidelity (headers,
+    Content-Length framing, gzip, HTTP preamble) and the full
+    canonicalizer chain (including the r06 %XX-case and query-sort
+    rules) are both on the hash path."""
+    from geonames_rdf_spark.operators.urls import url_oracle_expr
+
+    e = _WARC_EPOCH
     return f"""
-SELECT 'https://example.org/doc/' || CAST(doc_id AS VARCHAR) AS url,
-       CAST(({epoch} + doc_id) * 1000000 AS BIGINT) AS ts_us,
-       text
-FROM documents
+WITH pages AS (
+  SELECT CASE doc_id % 3
+    WHEN 0 THEN 'HTTPS://WWW.example.org:443/doc/' || CAST(doc_id AS VARCHAR)
+                || '?utm_source=x&b=2&a=%7e1#frag'
+    WHEN 1 THEN 'https://example.org/doc/' || CAST(doc_id AS VARCHAR) || '/'
+    ELSE 'https://example.org/doc/' || CAST(doc_id AS VARCHAR)
+    END AS url,
+    CAST(({e} + doc_id) * 1000000 AS BIGINT) AS ts_us,
+    text
+  FROM documents
+  UNION ALL
+  SELECT 'HTTPS://WWW.Example.ORG:443/doc/' || CAST(doc_id AS VARCHAR)
+         || '///' AS url,
+    CAST(({e} + doc_id + CASE WHEN doc_id % 10 = 0 THEN -50 ELSE 100 END)
+         * 1000000 AS BIGINT) AS ts_us,
+    'dup ' || text AS text
+  FROM documents WHERE doc_id % 5 = 0
+),
+canon AS (
+  SELECT url, {url_oracle_expr('url')} AS url_canonical, ts_us, text
+  FROM pages
+)
+SELECT url, url_canonical, ts_us, text FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY url_canonical ORDER BY ts_us ASC, url ASC) AS rn
+  FROM canon
+) WHERE rn = 1
 """
 
 
-def _kg_delta_changelog_sql() -> str:
-    """Oracle for pipeline.delta.triple_changelog between two KG builds:
-    old = full consolidated KG, new = unconsolidated KG without doc
-    triples — so the changelog carries BOTH kinds of row (adds: the
-    consolidation-suppressed triples; dels: the doc triples), each the
-    multiset EXCEPT ALL the Spark side computes."""
+def _kg_scoped_changelog_sql() -> str:
+    """Oracle for pipeline.delta.scoped_changelog over the r06 dump
+    mutation (``kg_prefix_mutated``): the FULL two-world changelog in
+    SQL.  The Spark side computes the SCOPED changelog (builds
+    pre-filtered to the input-diff affected superset), so a hash match
+    here IS the scoped == full exactness proof, driver-checked — and it
+    exercises every closure rule (feature, alt, hierarchy, ags).
+    Ontology static block skipped on both sides (cancels by
+    construction; mirrors scoped_changelog's include_ontology=False)."""
     cols = "subj, pred, obj, obj_is_iri, obj_lang, obj_dt"
+    old_q = kg_sql(ontology=False)
+    new_q = kg_sql(ontology=False, prefix=kg_prefix_mutated())
     return f"""
-WITH o AS ({kg_sql()}),
-n AS ({kg_sql(consolidated=False, docs=False)})
 SELECT 'add' AS op, {cols} FROM (
-  SELECT {cols} FROM n EXCEPT ALL SELECT {cols} FROM o)
+  SELECT {cols} FROM ({new_q}) EXCEPT ALL SELECT {cols} FROM ({old_q}))
 UNION ALL
 SELECT 'del' AS op, {cols} FROM (
-  SELECT {cols} FROM o EXCEPT ALL SELECT {cols} FROM n)
+  SELECT {cols} FROM ({old_q}) EXCEPT ALL SELECT {cols} FROM ({new_q}))
+"""
+
+
+def _chunk_documents_sql(max_tokens: int = 32, overlap: int = 8) -> str:
+    """Oracle for packing.chunk_documents: the same window math via
+    generate_series + list slicing (also the pytest parity twin — one
+    rendering, two consumers)."""
+    stride = max_tokens - overlap
+    return f"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents WHERE text IS NOT NULL
+), sized AS (
+  SELECT doc_id, toks, len(toks) AS n FROM t
+  WHERE len(toks) > 0 AND NOT (len(toks) = 1 AND toks[1] = '')
+), st AS (
+  SELECT doc_id, toks, n,
+         unnest(generate_series(0, n - 1, {stride})) AS start
+  FROM sized
+)
+SELECT doc_id, CAST(start / {stride} AS INT) AS chunk_id,
+       CAST(least({max_tokens}, n - start) AS INT) AS n_tokens,
+       array_to_string(toks[start + 1 : start + {max_tokens}], ' ')
+         AS chunk_text
+FROM st WHERE start = 0 OR start + {overlap} < n
 """
 
 
@@ -921,6 +987,13 @@ WHERE q.quality >= 0.4
     # score + Gopher repetition; both fingerprints; both language
     # signals.  Zero coverage lost; the freed rows carry the r04
     # operators (LM+decontam, packing, WARC, delta changelog).
+    # r06 merge: PII redaction joins the quality row (driver 50-row cap).
+    # Counts/redaction run over the PII-INJECTED corpus (the raw corpus
+    # is PII-free — counts would all be 0 and prove nothing); quality
+    # features stay on the original text.
+    from geonames_rdf_spark.operators import privacy
+
+    pii_sql = privacy.pii_oracle_sql(table=privacy.inject_pii_sql())
     words = ("list_filter(string_split_regex(lower(trim(text)), '\\s+'),"
              " x -> x <> '')")
     lines = "list_filter(string_split(text, chr(10)), x -> trim(x) <> '')"
@@ -948,9 +1021,11 @@ shares AS (
   FROM (SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g)
   GROUP BY doc_id)
 SELECT qf.*, qs.quality, base.dup_line_frac, base.dup_word_frac,
-       COALESCE(shares.top_bigram_share, 0.0) AS top_bigram_share
+       COALESCE(shares.top_bigram_share, 0.0) AS top_bigram_share,
+       p.text_redacted, p.n_email, p.n_ssn, p.n_ipv4, p.n_phone, p.n_pii
 FROM qf JOIN qs USING (doc_id) JOIN base USING (doc_id)
 LEFT JOIN shares USING (doc_id)
+JOIN ({pii_sql}) p USING (doc_id)
 """
     fingerprints = """
 WITH fp AS (
@@ -980,13 +1055,24 @@ FROM li JOIN ls USING (doc_id)
         "text_lang_signals": lang_signals,
         "text_lm_decontam": _lm_decontam_sql(),
         "pack_sequences": _pack_sequences_sql(tok),
-        "warc_roundtrip": _warc_roundtrip_sql(),
-        "kg_delta_changelog": _kg_delta_changelog_sql(),
+        "warc_url_roundtrip": _warc_url_roundtrip_sql(),
+        "kg_scoped_changelog": _kg_scoped_changelog_sql(),
+        "chunk_documents": _chunk_documents_sql(),
         "corpus_composition": corpus_composition,
         "sample_stratified": _sample_stratified_sql(),
         "curate_corpus": _curate_sql(),
-        "text_oov_rate": f"""
-WITH toks AS (
+        # whitespace + BPE-ish counts + OOV signals in one row (merged
+        # r04/r06 — driver caps at 50 recorded queries); same BPE
+        # pre-tokenizer regex: RE2 (DuckDB) and Java regex (Spark) agree
+        # on this lookahead-free subset
+        "text_token_counts": f"""
+WITH tc AS (
+  SELECT doc_id, {tok} AS n_tokens,
+    CAST(len(regexp_extract_all(COALESCE(text, ''), $$'(?:s|t|re|ve|m|ll|d)| ?\\p{{L}}+| ?\\p{{N}}+| ?[^\\s\\p{{L}}\\p{{N}}]+|\\s+$$)) AS INT)
+      AS n_bpe_tokens
+  FROM documents
+),
+toks AS (
   SELECT doc_id, t.tok FROM documents,
     LATERAL unnest(list_filter(
       string_split_regex(trim(COALESCE(text, '')), '\\s+'),
@@ -1000,27 +1086,17 @@ vocab AS (
   ) WHERE rn <= 10
 ),
 per_doc AS (
-  SELECT t.doc_id, COUNT(*) AS n_tokens,
+  SELECT t.doc_id,
          SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS n_oov
   FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
   GROUP BY t.doc_id
 )
-SELECT d.doc_id,
-       CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+SELECT tc.doc_id, tc.n_tokens, tc.n_bpe_tokens,
        CAST(COALESCE(p.n_oov, 0) AS BIGINT) AS n_oov,
-       round(COALESCE(p.n_oov, 0) / greatest(COALESCE(p.n_tokens, 0), 1), 4)
+       round(COALESCE(p.n_oov, 0) / greatest(tc.n_tokens, 1), 4)
          AS oov_rate
-FROM documents d LEFT JOIN per_doc p USING (doc_id)
+FROM tc LEFT JOIN per_doc p USING (doc_id)
 """,
-        # whitespace + BPE-ish counts in one row (merged r04 — driver caps
-        # at 50 recorded queries); same BPE pre-tokenizer regex: RE2
-        # (DuckDB) and Java regex (Spark) agree on this lookahead-free subset
-        "text_token_counts": (
-            f"SELECT doc_id, {tok} AS n_tokens,"
-            " CAST(len(regexp_extract_all(COALESCE(text, ''), "
-            "$$'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+$$"
-            ")) AS INT) AS n_bpe_tokens FROM documents"
-        ),
         "dedup_exact": dedup_exact,
         "ann_cosine_topk": ann_topk,
         "ann_knn_per_label": knn_label,

@@ -826,27 +826,14 @@ def test_chunk_documents_duck_parity(spark, duck):
     from geonames_rdf_spark.operators import packing
     from tests.conftest import assert_df_parity
 
-    max_t, ov, stride = 32, 8, 24
+    from geonames_rdf_spark import oracle
+
+    max_t, ov = 32, 8
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     got = packing.chunk_documents(docs, max_tokens=max_t, overlap=ov)
-    want = duck.execute(f"""
-        WITH t AS (
-          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
-          FROM documents WHERE text IS NOT NULL
-        ), sized AS (
-          SELECT doc_id, toks, len(toks) AS n FROM t
-          WHERE len(toks) > 0 AND NOT (len(toks) = 1 AND toks[1] = '')
-        ), st AS (
-          SELECT doc_id, toks, n,
-                 unnest(generate_series(0, n - 1, {stride})) AS start
-          FROM sized
-        )
-        SELECT doc_id, CAST(start / {stride} AS INT) AS chunk_id,
-               CAST(least({max_t}, n - start) AS INT) AS n_tokens,
-               array_to_string(toks[start + 1 : start + {max_t}], ' ')
-                 AS chunk_text
-        FROM st WHERE start = 0 OR start + {ov} < n
-    """).df()
+    # same rendering the driver's chunk_documents oracle row runs
+    want = duck.execute(
+        oracle._chunk_documents_sql(max_tokens=max_t, overlap=ov)).df()
     assert got.count() > docs.count()  # some docs actually split
     assert_df_parity(got, want)
 
