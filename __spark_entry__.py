@@ -115,16 +115,45 @@ def _q_c4_edges(spark, sf_dir):
 
 
 def _q_c5(spark, sf_dir):
+    """Both C5 variants in one row (r06: freed a slot for dedup_lines):
+    the en-scoped tie-preserving argmax and the per-(feature, lang)
+    variant, branch-labeled and unioned — the same two operators the
+    former c5_longest_official_en / c5_longest_all_langs rows checked."""
     from geonames_rdf_spark import vocab
 
-    return workload.q_longest_names(_kg(spark, sf_dir), vocab.GN_OFFICIAL_NAME, "en")
+    kg = _kg(spark, sf_dir)
+    en = workload.q_longest_names(
+        kg, vocab.GN_OFFICIAL_NAME, "en").select(
+        F.lit("official_en").alias("branch"), "*")
+    alllang = workload.q_longest_names_all_langs(
+        kg, vocab.GN_OFFICIAL_NAME).select(
+        F.lit("all_langs").alias("branch"), "*")
+    return en.unionByName(alllang)
 
 
-def _q_c5_all(spark, sf_dir):
-    from geonames_rdf_spark import vocab
+def _q_dedup_lines(spark, sf_dir):
+    """C4-style cross-corpus line-level exact dedup (r06 operator):
+    multi-line documents are assembled deterministically from the
+    documents table (20 grouped docs sharing an injected boilerplate
+    header/footer, bodies = the member texts in doc_id order), then
+    every line is kept only at its globally-first (doc_id, pos)
+    occurrence and documents are rebuilt — boilerplate survives exactly
+    once, short lines are exempt, duplicate natural lines across groups
+    collapse the same way in both engines."""
+    from geonames_rdf_spark.operators import lines as L
 
-    return workload.q_longest_names_all_langs(
-        _kg(spark, sf_dir), vocab.GN_OFFICIAL_NAME)
+    d = _docs(spark, sf_dir)
+    grouped = (d.groupBy((F.col("doc_id") % 20).alias("_g"))
+               .agg(F.concat(
+                   F.lit("COOKIE BANNER ACCEPT ALL\n"),
+                   F.array_join(
+                       F.transform(
+                           F.array_sort(F.collect_list(
+                               F.struct("doc_id", "text"))),
+                           lambda s: s.text), "\n"),
+                   F.lit("\nCC-LICENSE FOOTER v1")).alias("text"))
+               .select(F.col("_g").alias("doc_id"), "text"))
+    return L.dedup_lines(grouped, min_chars=2)
 
 
 def _q_c8(spark, sf_dir):
@@ -296,35 +325,47 @@ def _q_pack_sequences(spark, sf_dir):
 
 def _q_warc_url_roundtrip(spark, sf_dir):
     """WARC sink -> source round trip COMPOSED with r05/r06 URL
-    canonicalization + earliest-capture dedup: a noisy-URL page corpus
-    (tracking params, %xx case, unsorted query, www./port/slash noise,
-    duplicate captures both later AND earlier than their primary) is
-    materialized as gzip'd WARC archives (HTTP preamble, Content-Length
-    framing), parsed back, canonicalized, and deduped — one row per
-    canonical URL, survivor = earliest capture."""
+    canonicalization + earliest-capture dedup + the r06 per-domain
+    pipeline: a noisy-URL page corpus (tracking params, %xx case,
+    unsorted query, www./port/slash noise, duplicate captures both
+    later AND earlier than their primary, four hosts spanning a
+    two-level public suffix) is materialized as gzip'd WARC archives
+    (HTTP preamble, Content-Length framing), parsed back,
+    canonicalized, deduped — one row per canonical URL, survivor =
+    earliest capture — then registered-domain-tagged and flagged by a
+    RefinedWeb-style per-domain cap (`example.co.uk` aggregates two
+    hosts and overflows the cap; the others stay under it, so both the
+    windowed Zipf-head branch and the shuffle-free tail branch are on
+    the hash path)."""
     import tempfile
 
-    from geonames_rdf_spark.operators import urls
+    from geonames_rdf_spark.operators import domains, urls
     from geonames_rdf_spark.sources import warc
 
     d = _docs(spark, sf_dir)
     idstr = F.col("doc_id").cast("string")
     epoch = F.lit(oracle._WARC_EPOCH)
+    host = (F.when(F.col("doc_id") % 4 == 0, F.lit("example.org"))
+            .when(F.col("doc_id") % 4 == 1, F.lit("blog.example.co.uk"))
+            .when(F.col("doc_id") % 4 == 2, F.lit("news.example.co.uk"))
+            .otherwise(F.lit("other-site.com")))
     url_primary = (
         F.when(F.col("doc_id") % 3 == 0,
-               F.concat(F.lit("HTTPS://WWW.example.org:443/doc/"), idstr,
+               F.concat(F.lit("HTTPS://WWW."), F.upper(host),
+                        F.lit(":443/doc/"), idstr,
                         F.lit("?utm_source=x&b=2&a=%7e1#frag")))
         .when(F.col("doc_id") % 3 == 1,
-              F.concat(F.lit("https://example.org/doc/"), idstr,
+              F.concat(F.lit("https://"), host, F.lit("/doc/"), idstr,
                        F.lit("/")))
-        .otherwise(F.concat(F.lit("https://example.org/doc/"), idstr)))
+        .otherwise(F.concat(F.lit("https://"), host, F.lit("/doc/"),
+                            idstr)))
     primary = d.select(
         url_primary.alias("url"),
         F.timestamp_seconds(epoch + F.col("doc_id")).alias("warc_ts"),
         F.encode(F.col("text"), "UTF-8").alias("html"))
     dup = d.filter(F.col("doc_id") % 5 == 0).select(
-        F.concat(F.lit("HTTPS://WWW.Example.ORG:443/doc/"), idstr,
-                 F.lit("///")).alias("url"),
+        F.concat(F.lit("HTTPS://WWW."), F.upper(host), F.lit(":443/doc/"),
+                 idstr, F.lit("///")).alias("url"),
         F.timestamp_seconds(
             epoch + F.col("doc_id")
             + F.when(F.col("doc_id") % 10 == 0, F.lit(-50))
@@ -335,8 +376,11 @@ def _q_warc_url_roundtrip(spark, sf_dir):
     warc.write_warc(primary.unionByName(dup).repartition(4, "url"), out)
     back = warc.read_warc(spark, out + "/*.warc.gz")
     kept = urls.dedup_pages_by_url(back, url_col="url", ts_col="warc_ts")
-    return kept.select(
-        "url", "url_canonical",
+    capped = domains.cap_per_domain(kept, max_docs=oracle._DOMAIN_CAP,
+                                    url_col="url_canonical",
+                                    order_col="warc_ts")
+    return capped.select(
+        "url", "url_canonical", "domain", "domain_kept",
         F.unix_micros(F.col("warc_ts").cast("timestamp_ltz")).alias("ts_us"),
         F.col("html").cast("string").alias("text"),
     )
@@ -589,8 +633,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_ancestors": _q_c4_anc,
         "c4_descendants": _q_c4_desc,
         "c4_subdivision_edges": _q_c4_edges,
-        "c5_longest_official_en": _q_c5,
-        "c5_longest_all_langs": _q_c5_all,
+        "c5_longest_names": _q_c5,
+        "dedup_lines": _q_dedup_lines,
         "c8_hierarchy_report": _q_c8,
         "c9_museums_knn": _q_c9,
         "c12_code_labels": _q_c12,

@@ -1,0 +1,145 @@
+"""Registered-domain extraction + per-domain corpus controls.
+
+Web-scale corpora are dominated by a handful of hosts (a Zipf tail of
+blogspot/wordpress/forum mirrors); production pipelines (C4, RefinedWeb,
+Gopher's MassiveWeb) therefore cap how many documents any one
+*registered domain* may contribute and report composition per domain.
+Both need the registered domain — the public-suffix boundary, not the
+raw host: `a.blog.example.co.uk` and `b.example.co.uk` are the SAME
+publisher (`example.co.uk`), while `foo.org` and `bar.org` are not.
+
+A full Public Suffix List is an external artifact (not available here,
+and a moving target); the deterministic approximation below keeps the
+last TWO host labels, or the last THREE when the final two labels form
+a well-known two-level suffix (``co.uk``-style, the ``_SUFFIX2`` table).
+The table is defined once and rendered into BOTH engines — a Spark
+Column expression (codegen, zero shuffle) and a DuckDB scalar SQL
+expression — so the two cannot drift; parity is pytest-pinned and on
+the driver's warc+url oracle hash path.
+
+Scale notes (10^12 pages):
+
+* ``registered_domain_expr`` is pure Column code: no shuffle, no
+  Python, fused into whatever scan precedes it.
+* ``domain_stats`` is one hash aggregation keyed by domain — map-side
+  partial combine absorbs the Zipf skew (a billion-page domain still
+  contributes ONE row per map task to the exchange).
+* ``cap_per_domain`` is the skew CONTROL, but its own window
+  (rank-within-domain) concentrates each domain on one reducer — the
+  very skew it exists to fix.  It therefore pre-aggregates counts and
+  only runs the window on domains actually OVER the cap (a semi-join
+  scoped to the Zipf head); the under-cap tail — virtually all rows —
+  passes through shuffle-free on the kept side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+# Two-level public suffixes where the registered domain needs THREE
+# labels.  Deliberately small + pinned (a deterministic approximation,
+# NOT the live PSL); extend by appending — order is irrelevant.
+_SUFFIX2: tuple[str, ...] = (
+    "co.uk", "ac.uk", "gov.uk", "org.uk", "co.jp", "ne.jp", "or.jp",
+    "com.au", "net.au", "org.au", "co.in", "co.nz", "com.br", "com.cn",
+    "com.mx", "co.za", "com.ar", "com.tr", "co.kr", "com.sg",
+)
+
+
+def host_expr(url: Column) -> Column:
+    """Lowercased host of ``url`` (authority minus userinfo and port).
+    NULL for NULL / scheme-less input."""
+    h = F.lower(F.regexp_extract(url, r"^[^/?#]*//(?:[^/?#@]*@)?"
+                                      r"([^/?#:]+)", 1))
+    return F.when(h == "", F.lit(None).cast("string")).otherwise(h)
+
+
+def registered_domain_expr(url: Column) -> Column:
+    """Registered domain of ``url`` as a Column expression: last two
+    host labels, or last three when the last two are a ``_SUFFIX2``
+    entry.  Hosts with a single label (``localhost``) and IPv4 literals
+    pass through whole."""
+    host = host_expr(url)
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    last2 = F.array_join(F.slice(labels, -2, 2), ".")
+    last3 = F.array_join(F.slice(labels, -3, 3), ".")
+    is_ip = host.rlike(r"^\d+\.\d+\.\d+\.\d+$")
+    return (F.when(host.isNull() | (n <= 2) | is_ip, host)
+            .when(last2.isin(*_SUFFIX2), last3)
+            .otherwise(last2))
+
+
+def domain_oracle_expr(col_sql: str) -> str:
+    """DuckDB rendering of host + registered-domain from the SAME
+    ``_SUFFIX2`` table — one scalar SQL expression."""
+    host = (f"lower(nullif(regexp_extract({col_sql},"
+            f" '^[^/?#]*//(?:[^/?#@]*@)?([^/?#:]+)', 1), ''))")
+    labels = f"string_split(({host}), '.')"
+    n = f"len({labels})"
+    last2 = (f"array_to_string(list_slice({labels}, ({n}) - 1, ({n})),"
+             f" '.')")
+    last3 = (f"array_to_string(list_slice({labels}, ({n}) - 2, ({n})),"
+             f" '.')")
+    suf = ", ".join(f"'{s}'" for s in _SUFFIX2)
+    return (f"CASE WHEN ({host}) IS NULL OR ({n}) <= 2"
+            f" OR regexp_matches(({host}),"
+            f" '^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$') THEN ({host})"
+            f" WHEN ({last2}) IN ({suf}) THEN ({last3})"
+            f" ELSE ({last2}) END")
+
+
+def domain_stats(pages: DataFrame, url_col: str = "url",
+                 size_col: str | None = None) -> DataFrame:
+    """Per-registered-domain composition report: document count, share
+    of the corpus, and (optionally) a size sum.  One hash aggregation;
+    the corpus total rides the same pass as a grouping-set-free
+    window-over-nothing would not — it is a broadcast scalar join."""
+    dom = registered_domain_expr(F.col(url_col)).alias("domain")
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    if size_col is not None:
+        aggs.append(F.sum(F.col(size_col)).alias("total_size"))
+    per = pages.select(dom, *( [F.col(size_col)] if size_col else [] )) \
+        .groupBy("domain").agg(*aggs)
+    # corpus total from the (dimension-sized) per-domain aggregate — no
+    # second scan of pages; broadcast 1-row constant join
+    total = per.agg(F.sum("n_docs").alias("_total"))
+    return (per.join(F.broadcast(total))
+            .withColumn("share", (F.col("n_docs") /
+                                  F.col("_total")).cast("double"))
+            .drop("_total"))
+
+
+def cap_per_domain(pages: DataFrame, max_docs: int,
+                   url_col: str = "url",
+                   order_col: str = "warc_ts") -> DataFrame:
+    """RefinedWeb-style per-domain cap: keep at most ``max_docs``
+    documents per registered domain — earliest ``order_col`` first,
+    ties to the lexicographically smallest url, so the kept set is
+    deterministic under any partitioning.  Adds ``domain`` and
+    ``domain_kept`` (rows are FLAGGED, not dropped — callers filter on
+    ``domain_kept`` to apply the cap, or keep the flag for audit).
+
+    Skew shape: the rank window only runs for domains whose total count
+    EXCEEDS the cap (the Zipf head, found by a pre-aggregation that
+    map-side combines); every under-cap domain — the overwhelming
+    majority of rows at web scale — is flagged kept without touching a
+    window exchange.
+    """
+    dom = registered_domain_expr(F.col(url_col)).alias("domain")
+    with_dom = pages.select("*", dom)
+    over = (with_dom.groupBy("domain")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_docs)
+            .select("domain"))
+    # Zipf-head rows: rank within domain, flag the first max_docs
+    w = (Window.partitionBy("domain")
+         .orderBy(F.col(order_col).asc_nulls_last(), F.col(url_col).asc()))
+    head = (with_dom.join(F.broadcast(over), "domain")
+            .withColumn("domain_kept",
+                        F.row_number().over(w) <= F.lit(max_docs)))
+    tail = (with_dom.join(F.broadcast(over), "domain", "left_anti")
+            .withColumn("domain_kept", F.lit(True)))
+    return tail.unionByName(head.select(*tail.columns))

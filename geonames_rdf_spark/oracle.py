@@ -497,20 +497,19 @@ WHERE e.subj IN (SELECT node FROM des)
   AND e.feature_class = '{gn}A' AND e.parent IS NOT NULL
 """
         ),
-        "c5_longest_official_en": (
+        "c5_longest_names": (
             kg_cte() + f"""
-SELECT subj AS feature, obj AS name, obj_lang AS lang FROM (
+SELECT 'official_en' AS branch, subj AS feature, obj AS name,
+       obj_lang AS lang FROM (
   SELECT subj, obj, obj_lang,
          MAX(LENGTH(obj)) OVER (PARTITION BY subj) AS ml
   FROM kg
   WHERE pred = '{gn}officialName' AND obj_lang IS NOT NULL
     AND obj_lang LIKE 'en%'
 ) WHERE LENGTH(obj) = ml
-"""
-        ),
-        "c5_longest_all_langs": (
-            kg_cte() + f"""
-SELECT subj AS feature, obj AS name, obj_lang AS lang FROM (
+UNION ALL
+SELECT 'all_langs' AS branch, subj AS feature, obj AS name,
+       obj_lang AS lang FROM (
   SELECT subj, obj, obj_lang,
          MAX(LENGTH(obj)) OVER (PARTITION BY subj, obj_lang) AS ml
   FROM kg
@@ -746,48 +745,94 @@ FROM st WHERE rn > 0
 # later (the primary wins) — both earliest-capture branches fire.
 _WARC_EPOCH = 1704067200
 
+# Per-domain cap for the warc+url oracle row: sits between the
+# example.org / other-site.com canonical counts (~130 each at sf0.01)
+# and the example.co.uk count (~270, two hosts on one registered
+# domain), so the row exercises BOTH cap branches.
+_DOMAIN_CAP = 150
+
 
 def _warc_url_roundtrip_sql() -> str:
     """Oracle for the WARC write->read round trip COMPOSED with URL
-    canonicalization + earliest-capture dedup: the Spark side
-    materializes the noisy-URL corpus as gzip'd WARC archives, parses
-    it back, canonicalizes, and keeps one row per canonical URL; the
-    twin states what must come out.  WARC fidelity (headers,
-    Content-Length framing, gzip, HTTP preamble) and the full
+    canonicalization + earliest-capture dedup + the r06 per-domain
+    pipeline: the Spark side materializes the noisy-URL multi-host
+    corpus as gzip'd WARC archives, parses it back, canonicalizes,
+    dedups, extracts the registered domain, and flags a per-domain
+    cap; the twin states what must come out.  WARC fidelity (headers,
+    Content-Length framing, gzip, HTTP preamble), the full
     canonicalizer chain (including the r06 %XX-case and query-sort
-    rules) are both on the hash path."""
+    rules), the _SUFFIX2 public-suffix boundary, and the cap's
+    deterministic (ts, url) ordering are all on the hash path."""
+    from geonames_rdf_spark.operators.domains import domain_oracle_expr
     from geonames_rdf_spark.operators.urls import url_oracle_expr
 
     e = _WARC_EPOCH
     return f"""
-WITH pages AS (
+WITH hosted AS (
+  SELECT doc_id, text, CASE doc_id % 4
+    WHEN 0 THEN 'example.org'
+    WHEN 1 THEN 'blog.example.co.uk'
+    WHEN 2 THEN 'news.example.co.uk'
+    ELSE 'other-site.com' END AS host
+  FROM documents),
+pages AS (
   SELECT CASE doc_id % 3
-    WHEN 0 THEN 'HTTPS://WWW.example.org:443/doc/' || CAST(doc_id AS VARCHAR)
-                || '?utm_source=x&b=2&a=%7e1#frag'
-    WHEN 1 THEN 'https://example.org/doc/' || CAST(doc_id AS VARCHAR) || '/'
-    ELSE 'https://example.org/doc/' || CAST(doc_id AS VARCHAR)
+    WHEN 0 THEN 'HTTPS://WWW.' || upper(host) || ':443/doc/'
+                || CAST(doc_id AS VARCHAR) || '?utm_source=x&b=2&a=%7e1#frag'
+    WHEN 1 THEN 'https://' || host || '/doc/' || CAST(doc_id AS VARCHAR)
+                || '/'
+    ELSE 'https://' || host || '/doc/' || CAST(doc_id AS VARCHAR)
     END AS url,
     CAST(({e} + doc_id) * 1000000 AS BIGINT) AS ts_us,
     text
-  FROM documents
+  FROM hosted
   UNION ALL
-  SELECT 'HTTPS://WWW.Example.ORG:443/doc/' || CAST(doc_id AS VARCHAR)
-         || '///' AS url,
+  SELECT 'HTTPS://WWW.' || upper(host) || ':443/doc/'
+         || CAST(doc_id AS VARCHAR) || '///' AS url,
     CAST(({e} + doc_id + CASE WHEN doc_id % 10 = 0 THEN -50 ELSE 100 END)
          * 1000000 AS BIGINT) AS ts_us,
     'dup ' || text AS text
-  FROM documents WHERE doc_id % 5 = 0
+  FROM hosted WHERE doc_id % 5 = 0
 ),
 canon AS (
   SELECT url, {url_oracle_expr('url')} AS url_canonical, ts_us, text
   FROM pages
+),
+kept AS (
+  SELECT url, url_canonical, ts_us, text FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY url_canonical ORDER BY ts_us ASC, url ASC) AS rn
+    FROM canon
+  ) WHERE rn = 1
 )
-SELECT url, url_canonical, ts_us, text FROM (
+SELECT url, url_canonical, domain,
+       drn <= {_DOMAIN_CAP} AS domain_kept, ts_us, text
+FROM (
   SELECT *, ROW_NUMBER() OVER (
-    PARTITION BY url_canonical ORDER BY ts_us ASC, url ASC) AS rn
-  FROM canon
-) WHERE rn = 1
+    PARTITION BY domain ORDER BY ts_us ASC, url_canonical ASC) AS drn
+  FROM (SELECT *, {domain_oracle_expr('url_canonical')} AS domain
+        FROM kept)
+)
 """
+
+
+def _dedup_lines_sql() -> str:
+    """Oracle for operators.lines.dedup_lines (r06): the SAME grouped
+    multi-line corpus the Spark row assembles (20 docs sharing an
+    injected boilerplate header/footer, bodies = member texts in doc_id
+    order), deduped by the independent window formulation in
+    lines.dedup_lines_sql — global first-occurrence wins, short lines
+    exempt."""
+    from geonames_rdf_spark.operators.lines import dedup_lines_sql
+
+    grouped = """
+SELECT doc_id % 20 AS doc_id,
+       'COOKIE BANNER ACCEPT ALL' || chr(10) ||
+       string_agg(text, chr(10) ORDER BY doc_id) || chr(10) ||
+       'CC-LICENSE FOOTER v1' AS text
+FROM documents GROUP BY doc_id % 20
+"""
+    return dedup_lines_sql(grouped, min_chars=2)
 
 
 def _kg_scoped_changelog_sql() -> str:
@@ -1056,6 +1101,7 @@ FROM li JOIN ls USING (doc_id)
         "text_lm_decontam": _lm_decontam_sql(),
         "pack_sequences": _pack_sequences_sql(tok),
         "warc_url_roundtrip": _warc_url_roundtrip_sql(),
+        "dedup_lines": _dedup_lines_sql(),
         "kg_scoped_changelog": _kg_scoped_changelog_sql(),
         "chunk_documents": _chunk_documents_sql(),
         "corpus_composition": corpus_composition,

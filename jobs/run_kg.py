@@ -55,6 +55,10 @@ def main() -> None:
                          " it does not exist yet, this job builds the map"
                          " once and WRITES the bundle there for the next"
                          " job (the build-once deployment shape)")
+    ap.add_argument("--replicate", type=int, default=1,
+                    help="replicate the gazetteer xN (scale harness only:"
+                         " makes the matcher-prep cost measurable at"
+                         " sandbox SF; production reads the real dump)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -69,11 +73,14 @@ def main() -> None:
     spark.sparkContext.setLogLevel("WARN")
 
     import os
+    import time
 
-    tables = build.gazetteer_tables(spark, args.sf_dir)
+    tables = build.gazetteer_tables(spark, args.sf_dir,
+                                    replicate=args.replicate)
     feats = tables["features"].cache()
     surfaces = corpus.gazetteer_surfaces(feats)
     smap, bundle_bc, bundle_file = None, None, None
+    t_prep = time.perf_counter()
     if args.matcher_bundle and os.path.exists(args.matcher_bundle):
         # build-once path: ship the pre-built bundle file (SparkFiles,
         # once per executor) — no driver collect, no per-job broadcast
@@ -94,6 +101,10 @@ def main() -> None:
 
         bundle_bc = spark.sparkContext.broadcast(
             (build_matcher({k: [] for k in smap}), smap))
+    # matcher-prep = everything a SECOND job would skip with a prebuilt
+    # bundle (driver collect + dict build + broadcast); printed so the
+    # BENCH.md A/B is read off the job output, not stopwatched
+    matcher_prep_s = round(time.perf_counter() - t_prep, 3)
 
     if args.pages_table:
         # production path: scan the stored corpus (Iceberg table name or
@@ -142,6 +153,8 @@ def main() -> None:
         "feature_triples": kg.count(),
         "mention_triples": mention_triples.count(),
         "buckets": args.buckets,
+        "matcher_prep_s": matcher_prep_s,
+        "matcher_path": "bundle" if bundle_file else "collect+broadcast",
     }))
     spark.stop()
 

@@ -857,9 +857,10 @@ def test_chunk_documents_duck_parity(spark, duck):
     assert toks[0][:1] == ["t0"] and toks[-1][-1] == "t79"
     assert toks[0][-ov:] == toks[1][:ov]
     assert set(sum(toks, [])) == {f"t{i}" for i in range(80)}
-    # doc 2 (max+1): second chunk contributes exactly one new token
+    # doc 2 (max+1): second chunk = the ov-token overlap + exactly one
+    # new token (33 - stride tokens, stride = max_t - ov)
     c2 = sorted(by_doc[2], key=lambda r: r["chunk_id"])
-    assert c2[1]["n_tokens"] == 33 - stride
+    assert c2[1]["n_tokens"] == 33 - (max_t - ov)
 
     import pytest as _pt
     with _pt.raises(ValueError, match="overlap"):
@@ -1065,3 +1066,113 @@ def test_normalize_url_duck_parity(spark, duck):
     rows = {r["url_canonical"]: r["tag"] for r in kept.collect()}
     assert rows == {"https://example.com/p": "early",
                     "https://example.com/q": "other"}
+
+
+def test_registered_domain_duck_parity(spark, duck):
+    """domains.registered_domain_expr == the DuckDB rendering of the
+    same _SUFFIX2 table on adversarial hosts; cap_per_domain keeps the
+    earliest max_docs per registered domain, deterministically."""
+    import pandas as pd
+
+    from geonames_rdf_spark.operators import domains
+
+    raw = [
+        "https://a.blog.example.co.uk/p1",      # 3-label suffix
+        "https://b.example.co.uk/p2",           # same publisher
+        "http://example.co.uk/p3",              # bare registered domain
+        "https://www.foo.org/x",                # plain 2-label
+        "https://deep.sub.foo.org/y",           # same publisher
+        "http://bar.org/z",                     # different publisher
+        "http://localhost/dev",                 # single label
+        "http://192.168.0.1:8080/admin",        # IPv4 literal
+        "https://user:pw@secure.example.com.au/q",  # userinfo + 3-label
+        "HTTPS://UPPER.Example.ORG/Case",       # case in host only
+        "not a url",
+        None,
+    ]
+    pdf = pd.DataFrame({"doc_id": range(len(raw)), "url": raw})
+    d = spark.createDataFrame(pdf)
+    duck.register("dom_fixture", pdf)
+    got = d.select(
+        "doc_id",
+        domains.registered_domain_expr(F.col("url")).alias("domain"))
+    want = duck.execute(
+        "SELECT doc_id, " + domains.domain_oracle_expr("url")
+        + " AS domain FROM dom_fixture ORDER BY doc_id").df()
+    assert_df_parity(got, want)
+
+    dom = {r["doc_id"]: r["domain"] for r in got.collect()}
+    assert dom[0] == dom[1] == dom[2] == "example.co.uk"
+    assert dom[3] == dom[4] == "foo.org"
+    assert dom[5] == "bar.org"
+    assert dom[6] == "localhost"
+    assert dom[7] == "192.168.0.1"
+    assert dom[8] == "example.com.au"
+    assert dom[9] == "example.org"
+    assert dom[10] is None and dom[11] is None
+
+
+def test_cap_per_domain_and_stats(spark):
+    from geonames_rdf_spark.operators import domains
+
+    pages = spark.createDataFrame(
+        [(f"https://sub{i % 3}.big.com/p{i}", f"2026-01-{i + 1:02d}")
+         for i in range(6)]
+        + [("https://small.org/only", "2026-02-01"),
+           ("https://tiny.net/a", "2026-02-02"),
+           ("https://tiny.net/b", "2026-02-03")],
+        "url string, warc_ts string")
+    out = domains.cap_per_domain(pages, max_docs=2).collect()
+    by_dom: dict = {}
+    for r in out:
+        by_dom.setdefault(r["domain"], []).append(r)
+    assert len(out) == 9  # flagged, never dropped
+    big_kept = sorted(r["url"] for r in by_dom["big.com"] if r["domain_kept"])
+    # earliest two warc_ts win (i=0,1), regardless of subdomain
+    assert big_kept == ["https://sub0.big.com/p0", "https://sub1.big.com/p1"]
+    assert sum(not r["domain_kept"] for r in by_dom["big.com"]) == 4
+    assert all(r["domain_kept"] for r in by_dom["small.org"])
+    assert all(r["domain_kept"] for r in by_dom["tiny.net"])
+
+    stats = {r["domain"]: r for r in
+             domains.domain_stats(pages).collect()}
+    assert stats["big.com"]["n_docs"] == 6
+    assert abs(stats["big.com"]["share"] - 6 / 9) < 1e-12
+    assert stats["tiny.net"]["n_docs"] == 2
+
+
+def test_dedup_lines_duck_parity(spark, duck):
+    """lines.dedup_lines == the independent DuckDB window formulation:
+    global first-occurrence wins (across AND within docs), short lines
+    exempt, all-lines-removed docs come back empty."""
+    import pandas as pd
+
+    from geonames_rdf_spark.operators import lines as L
+
+    docs = [
+        (0, "unique alpha line\nSHARED BOILERPLATE COOKIE BANNER\nok"),
+        (1, "SHARED BOILERPLATE COOKIE BANNER\nunique beta line"),
+        (2, "repeat me inside\nrepeat me inside\nunique gamma"),
+        (3, "SHARED BOILERPLATE COOKIE BANNER"),   # -> empty after dedup
+        (4, "a\nb\na"),                            # short lines exempt
+        (5, ""),
+    ]
+    pdf = pd.DataFrame(docs, columns=["doc_id", "text"])
+    d = spark.createDataFrame(pdf)
+    duck.register("line_fixture", pdf)
+
+    got = L.dedup_lines(d, min_chars=2)
+    want = duck.execute(
+        L.dedup_lines_sql("SELECT * FROM line_fixture", min_chars=2)
+        + " ORDER BY doc_id").df()
+    assert_df_parity(got, want)
+
+    rows = {r["doc_id"]: r for r in got.collect()}
+    assert rows[0]["text"] == ("unique alpha line\n"
+                               "SHARED BOILERPLATE COOKIE BANNER\nok")
+    assert rows[1]["text"] == "unique beta line"
+    assert rows[1]["n_lines_removed"] == 1
+    assert rows[2]["text"] == "repeat me inside\nunique gamma"
+    assert rows[3]["text"] == "" and rows[3]["n_lines_kept"] == 0
+    assert rows[4]["text"] == "a\nb\na"  # 1-char lines never deduped
+    assert rows[5]["n_lines_kept"] == 1  # the single empty line, exempt
