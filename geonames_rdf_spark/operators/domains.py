@@ -114,19 +114,34 @@ def domain_stats(pages: DataFrame, url_col: str = "url",
 
 def cap_per_domain(pages: DataFrame, max_docs: int,
                    url_col: str = "url",
-                   order_col: str = "warc_ts") -> DataFrame:
+                   order_col: str = "warc_ts",
+                   salt: int = 16) -> DataFrame:
     """RefinedWeb-style per-domain cap: keep at most ``max_docs``
     documents per registered domain — earliest ``order_col`` first,
-    ties to the lexicographically smallest url, so the kept set is
-    deterministic under any partitioning.  Adds ``domain`` and
-    ``domain_kept`` (rows are FLAGGED, not dropped — callers filter on
-    ``domain_kept`` to apply the cap, or keep the flag for audit).
+    ties to the lexicographically smallest url.  (``(order_col,
+    url_col)`` must be unique per row for a deterministic kept set;
+    after ``dedup_pages_by_url`` the canonical url alone is unique.)
+    Adds ``domain`` and ``domain_kept`` (rows are FLAGGED, not
+    dropped — callers filter on ``domain_kept`` to apply the cap, or
+    keep the flag for audit).
 
-    Skew shape: the rank window only runs for domains whose total count
-    EXCEEDS the cap (the Zipf head, found by a pre-aggregation that
-    map-side combines); every under-cap domain — the overwhelming
-    majority of rows at web scale — is flagged kept without touching a
-    window exchange.
+    Skew shape — the cap targets exactly the keys that break naive
+    windows, so it must not use one:
+
+    * Only domains whose total count EXCEEDS the cap (the Zipf head,
+      found by a map-side-combinable pre-aggregation) do any ranking
+      work at all; the under-cap tail — virtually all rows at web
+      scale — is flagged kept without touching another exchange.
+    * For the head, there is NO full-domain sort anywhere: rows are
+      salted ``salt`` ways, each ``(domain, salt)`` slice ranks its
+      own top-``max_docs`` candidates in parallel (a 10^9-page domain
+      sorts as ``salt`` independent 1/salt-sized spillable sorts, not
+      one reducer), the ≤ ``salt × max_docs`` survivors per domain
+      yield the domain's exact ``max_docs``-th smallest ``(order,
+      url)`` key, and keeping is a broadcast threshold comparison —
+      ``key <= threshold`` — against that dimension-sized table.
+      Raise ``salt`` to shrink the straggler further; results are
+      identical for any value.
     """
     dom = registered_domain_expr(F.col(url_col)).alias("domain")
     with_dom = pages.select("*", dom)
@@ -134,12 +149,27 @@ def cap_per_domain(pages: DataFrame, max_docs: int,
             .agg(F.count(F.lit(1)).alias("_n"))
             .filter(F.col("_n") > max_docs)
             .select("domain"))
-    # Zipf-head rows: rank within domain, flag the first max_docs
-    w = (Window.partitionBy("domain")
-         .orderBy(F.col(order_col).asc_nulls_last(), F.col(url_col).asc()))
-    head = (with_dom.join(F.broadcast(over), "domain")
-            .withColumn("domain_kept",
-                        F.row_number().over(w) <= F.lit(max_docs)))
     tail = (with_dom.join(F.broadcast(over), "domain", "left_anti")
             .withColumn("domain_kept", F.lit(True)))
+
+    key = F.struct(F.col(order_col).alias("o"),
+                   F.col(url_col).alias("u")).alias("_key")
+    head = with_dom.join(F.broadcast(over), "domain")
+    cand = (head.select("domain", key,
+                        F.pmod(F.xxhash64(F.col(url_col)),
+                               F.lit(salt)).alias("_s"))
+            .withColumn("_rn", F.row_number().over(
+                Window.partitionBy("domain", "_s")
+                .orderBy(F.col("_key").asc())))
+            .filter(F.col("_rn") <= max_docs))
+    # exact per-domain threshold from the salted candidates (a
+    # dimension-sized frame: <= salt * max_docs rows per head domain)
+    thr = (cand.withColumn("_gn", F.row_number().over(
+                Window.partitionBy("domain")
+                .orderBy(F.col("_key").asc())))
+           .filter(F.col("_gn") == max_docs)
+           .select("domain", F.col("_key").alias("_thr")))
+    head = (head.join(F.broadcast(thr), "domain")
+            .withColumn("domain_kept", key <= F.col("_thr"))
+            .drop("_thr"))
     return tail.unionByName(head.select(*tail.columns))

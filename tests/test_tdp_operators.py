@@ -1176,3 +1176,45 @@ def test_dedup_lines_duck_parity(spark, duck):
     assert rows[3]["text"] == "" and rows[3]["n_lines_kept"] == 0
     assert rows[4]["text"] == "a\nb\na"  # 1-char lines never deduped
     assert rows[5]["n_lines_kept"] == 1  # the single empty line, exempt
+
+
+def test_cap_per_domain_salt_invariant_vs_window(spark):
+    """The salted-threshold cap (no full-domain sort) must equal the
+    naive one-window-per-domain formulation for EVERY salt value —
+    that equality is what makes the skew-safe path a pure physical
+    rewrite."""
+    from pyspark.sql import Window as W
+
+    from geonames_rdf_spark.operators import domains
+
+    # 3 over-cap domains (one 40-row 'mega' key), 2 under-cap, with
+    # deliberately shuffled insert order and non-monotone timestamps
+    rows = []
+    for i in range(40):
+        rows.append((f"https://s{i % 5}.mega.com/p{(i * 7) % 40}",
+                     f"2026-01-01 00:{(i * 13) % 60:02d}:00"))
+    for i in range(8):
+        rows.append((f"https://mid.org/p{(i * 3) % 8}",
+                     f"2026-01-02 00:{i:02d}:00"))
+    for i in range(7):
+        rows.append((f"https://also.co.uk/x{i}",
+                     f"2026-01-0{(i % 3) + 1} 12:00:0{i}"))
+    rows += [("https://small.net/a", "2026-02-01 00:00:00"),
+             ("https://tiny.io/b", "2026-02-02 00:00:00")]
+    pages = spark.createDataFrame(rows, "url string, warc_ts string")
+
+    # naive reference: rank over the whole domain
+    dom = domains.registered_domain_expr(F.col("url")).alias("domain")
+    w = W.partitionBy("domain").orderBy(F.col("warc_ts").asc(),
+                                        F.col("url").asc())
+    ref = (pages.select("*", dom)
+           .withColumn("domain_kept", F.row_number().over(w) <= 5)
+           .orderBy("url", "warc_ts"))
+    want = [(r["url"], r["domain"], r["domain_kept"])
+            for r in ref.collect()]
+
+    for salt in (1, 3, 16):
+        got = (domains.cap_per_domain(pages, max_docs=5, salt=salt)
+               .orderBy("url", "warc_ts"))
+        assert [(r["url"], r["domain"], r["domain_kept"])
+                for r in got.collect()] == want, f"salt={salt}"
