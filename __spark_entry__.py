@@ -502,9 +502,12 @@ def _q_ann_ivf(spark, sf_dir):
 
 
 def _q_minhash(spark, sf_dir):
-    # merged r05: block (MinHash+LSH est_jaccard, through the guarded
-    # pre-collapsed path) THEN verify (exact word-3-gram jaccard on the
-    # surviving pairs) — the production two-stage shape as one row
+    # merged r05/r06: block (MinHash+LSH est_jaccard, through the
+    # guarded pre-collapsed path) THEN verify (exact word-3-gram jaccard
+    # on the surviving pairs) THEN consolidate (connected-components
+    # cluster label = deterministic survivor) — the production
+    # three-stage shape as one row; the oracle recomputes the cluster by
+    # an independent recursive-CTE reachability closure
     from geonames_rdf_spark.operators import dedup
 
     near = _docs(spark, sf_dir).withColumn(
@@ -513,7 +516,9 @@ def _q_minhash(spark, sf_dir):
     all_docs = _docs(spark, sf_dir).unionByName(near)
     nd = dedup.minhash_near_dups(all_docs, threshold=0.5)
     ver = dedup.ngram_jaccard(all_docs, nd.select("id_a", "id_b"))
-    return nd.join(ver, ["id_a", "id_b"])
+    cl = dedup.near_dup_clusters(nd)
+    return (nd.join(ver, ["id_a", "id_b"])
+            .join(cl.withColumnRenamed("doc_id", "id_a"), "id_a"))
 
 
 def _q_simhash(spark, sf_dir):

@@ -296,6 +296,30 @@ def minhash_near_dups(docs: DataFrame, threshold: float = 0.6,
     return cross.unionByName(within)
 
 
+def near_dup_clusters(pairs: DataFrame, id_a: str = "id_a",
+                      id_b: str = "id_b") -> DataFrame:
+    """Consolidate pairwise near-dup hits into CLUSTERS: (doc_id,
+    cluster) for every document appearing in a pair, with ``cluster`` =
+    the smallest doc_id in its connected component — the deterministic
+    survivor.  This is the step production dedup actually keeps one doc
+    per (FineWeb / BigCode "NearDedup" semantics): pairwise output alone
+    over-deletes chains (A~B, B~C would drop both B and C under
+    keep-the-smaller-per-pair even though A~C may not hold).
+
+    Scale shape: delegates to ``operators.graph.connected_components``
+    (hash-min + pointer doubling, O(log diameter) rounds, two
+    exchange-sized joins per round, loud non-convergence) — the same
+    kernel the sameAs canonicalization uses; a 10^6-member boilerplate
+    cluster converges in ~20 rounds, not 10^6.  Docs in no pair are
+    absent (they keep themselves; callers left-anti or coalesce).
+    """
+    from geonames_rdf_spark.operators.graph import connected_components
+
+    edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    return connected_components(edges).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster"))
+
+
 def simhash_signatures(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", bits: int = 64) -> DataFrame:
     """(id, simhash bigint) — sign-sum of md5 word hashes."""

@@ -1439,7 +1439,7 @@ def _minhash_sql() -> str:
     )
     agree = "len(list_filter(range(64), j -> sa[j+1] = sb[j+1]))"
     return f"""
-WITH all_docs AS (
+WITH RECURSIVE all_docs AS (
   SELECT doc_id, text FROM documents
   UNION ALL
   SELECT doc_id + 2000000, text || ' trailing token' FROM documents
@@ -1493,10 +1493,31 @@ j AS (
   FROM nd
   JOIN shing sa ON nd.id_a = sa.doc_id
   JOIN shing sb ON nd.id_b = sb.doc_id
-)
-SELECT id_a, id_b, est_jaccard,
-       CASE WHEN uni = 0 THEN 1.0 ELSE round(inter / uni, 4) END AS jaccard
-FROM j
+),
+final AS (
+  SELECT id_a, id_b, est_jaccard,
+         CASE WHEN uni = 0 THEN 1.0 ELSE round(inter / uni, 4) END AS jaccard
+  FROM j
+),
+-- r06 cluster consolidation twin: reachability closure (recursive CTE)
+-- over the SAME pair set, cluster = min reachable id — an
+-- algorithm-independent second path to the Spark side's hash-min
+-- pointer-doubling connected components
+pnodes AS (
+  SELECT id_a AS node FROM final UNION SELECT id_b FROM final
+),
+pedges AS (
+  SELECT id_a AS src, id_b AS dst FROM final
+  UNION ALL SELECT id_b, id_a FROM final
+),
+reach AS (
+  SELECT node, node AS r FROM pnodes
+  UNION
+  SELECT reach.node, e.dst FROM reach JOIN pedges e ON e.src = reach.r
+),
+comp AS (SELECT node, MIN(r) AS cluster FROM reach GROUP BY node)
+SELECT f.id_a, f.id_b, f.est_jaccard, f.jaccard, c.cluster
+FROM final f JOIN comp c ON f.id_a = c.node
 """
 
 

@@ -6,7 +6,8 @@
         --min-quality 0.4 --max-dup-line-frac 0.3 --max-top-bigram-share 0.2 \
         --benchmark /path/to/eval_docs.parquet --max-ppl 10000 --seq-len 2048
 
-Pipeline (one lazy plan + one packing pass): exact dedup -> quality gate
+Pipeline (one lazy plan + one packing pass): optional per-domain cap
+(url column) -> optional cross-corpus line dedup -> exact dedup -> quality gate
 -> optional decontamination / repetition caps / LM-perplexity cap /
 PII-density cap -> stratified sampling -> optional chunking (overlapping
 token windows) -> sequence packing.  Chunking bounds the packing unit
@@ -52,6 +53,16 @@ def main() -> None:
     ap.add_argument("--chunk-overlap", type=int, default=16)
     ap.add_argument("--seq-len", type=int, default=2048)
     ap.add_argument("--pack-buckets", type=int, default=32)
+    ap.add_argument("--max-per-domain", type=int, default=None,
+                    help="keep at most N docs per registered domain"
+                         " (requires a url column; earliest doc_id wins"
+                         " — the salted-threshold cap, no full-domain"
+                         " sort)")
+    ap.add_argument("--dedup-lines", type=int, default=None,
+                    metavar="MIN_CHARS",
+                    help="C4-style cross-corpus line dedup before"
+                         " scoring: every line >= MIN_CHARS survives"
+                         " only at its globally-first occurrence")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -63,6 +74,25 @@ def main() -> None:
     spark.sparkContext.setLogLevel("WARN")
 
     docs = spark.read.parquet(args.docs)
+    n_input = docs.count()
+    n_after_domain = n_lines_removed = None
+    if args.max_per_domain is not None:
+        from geonames_rdf_spark.operators import domains
+
+        if "url" not in docs.columns:
+            raise SystemExit("--max-per-domain requires a url column")
+        docs = (domains.cap_per_domain(docs, args.max_per_domain,
+                                       url_col="url", order_col="doc_id")
+                .filter("domain_kept").drop("domain", "domain_kept"))
+        n_after_domain = docs.count()
+    if args.dedup_lines is not None:
+        from geonames_rdf_spark.operators import lines as L
+
+        dl = L.dedup_lines(docs, min_chars=args.dedup_lines)
+        n_lines_removed = int(
+            dl.agg(F.sum("n_lines_removed")).collect()[0][0] or 0)
+        docs = (docs.drop("text")
+                .join(dl.select("doc_id", "text"), "doc_id"))
     bench = spark.read.parquet(args.benchmark) if args.benchmark else None
     lm = (textstats.train_char_lm(docs, n=args.lm_order)
           if args.max_ppl is not None else None)
@@ -113,7 +143,9 @@ def main() -> None:
         F.sum(F.col("has_oversized").cast("int")).alias("oversized_packs"),
     ).collect()[0]
     print(json.dumps({
-        "input_docs": docs.count(),
+        "input_docs": n_input,
+        "after_domain_cap": n_after_domain,
+        "dedup_lines_removed": n_lines_removed,
         "curated_docs": curated.count(),
         "n_packs": agg["n_packs"],
         "mean_fill": agg["mean_fill"],

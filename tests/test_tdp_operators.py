@@ -1218,3 +1218,16 @@ def test_cap_per_domain_salt_invariant_vs_window(spark):
                .orderBy("url", "warc_ts"))
         assert [(r["url"], r["domain"], r["domain_kept"])
                 for r in got.collect()] == want, f"salt={salt}"
+
+
+def test_near_dup_clusters_chain_transitive(spark):
+    """Pairwise hits A~B, B~C consolidate into ONE cluster labeled by
+    the smallest id — the keep-set {A} — even though the A~C pair was
+    never emitted; disjoint pairs stay separate clusters."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "id_a bigint, id_b bigint")
+    out = {r["doc_id"]: r["cluster"]
+           for r in dedup.near_dup_clusters(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20, 23: 20}
