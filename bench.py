@@ -95,6 +95,26 @@ def main() -> None:
         }
         return n
 
+    def dedup_lines_run():
+        # r06 operator row: multi-line docs assembled from the corpus
+        # (50-doc groups sharing injected boilerplate) -> global
+        # first-occurrence line dedup -> rebuilt docs counted
+        from pyspark.sql import functions as F
+
+        from geonames_rdf_spark.operators import lines as L
+
+        grouped = (docs.groupBy((F.col("doc_id") % 100).alias("_g"))
+                   .agg(F.concat(
+                       F.lit("COOKIE BANNER ACCEPT ALL\n"),
+                       F.array_join(
+                           F.transform(
+                               F.array_sort(F.collect_list(
+                                   F.struct("doc_id", "text"))),
+                               lambda s: s.text), "\n"),
+                       F.lit("\nCC-LICENSE FOOTER v1")).alias("text"))
+                   .select(F.col("_g").alias("doc_id"), "text"))
+        return L.dedup_lines(grouped, min_chars=2).count()
+
     # web_pipeline appears TWICE per pass (flagship number, and the one
     # that regressed under host noise in the round-3 driver window):
     # 2 x reps samples at different suite offsets make the minimum robust
@@ -110,6 +130,7 @@ def main() -> None:
          lambda: workload.q_museums(kg, oracle.SEED_CITY).count()),
         ("c2_population_topk", lambda: workload.q_population(kg).count()),
         ("dedup_minhash_lsh", lambda: minhash_observed()),
+        ("dedup_lines", lambda: dedup_lines_run()),
         ("ann_knn_per_label",
          lambda: similarity.pairwise_topk_per_label_blas(emb, k=3).count()),
         ("web_pipeline", pipeline_run),

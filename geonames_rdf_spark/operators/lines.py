@@ -22,7 +22,10 @@ Scale shape (10^12 docs, the whole point of the pass):
 * Keeping is an inner join back on ``(key, doc_id, pos)`` — the winner
   side is one row per DISTINCT line, already shuffled by key.
 * Reassembly is one aggregation keyed by ``doc_id`` (sort the kept
-  ``(pos, line)`` structs inside the group, not a global sort).
+  ``(pos, line)`` structs inside the group, not a global sort).  The
+  aggregation buffer holds ONE document's surviving lines — the same
+  memory bound as materializing that document's text anywhere else in
+  the pipeline, and nothing like a corpus-sized group.
 
 ``min_chars`` exempts short lines from dedup entirely (C4 applies its
 span filter only to long-enough spans; deduping one-word lines would
