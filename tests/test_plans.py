@@ -162,3 +162,43 @@ def test_normalize_url_no_shuffle_dedup_single_exchange(spark):
     assert "Exchange" not in plan_n and "PythonUDF" not in plan_n
     plan_d = plan_of(urls.dedup_pages_by_url(pages))
     assert plan_d.count("Exchange") == 1, plan_d
+
+
+def test_registered_domain_no_shuffle_no_python(spark):
+    """registered_domain_expr is pure codegen Column work: no Exchange,
+    no Python in the plan — it fuses into whatever scan precedes it, so
+    tagging 10^12 pages with their publisher costs zero extra passes."""
+    from geonames_rdf_spark.operators import domains
+
+    pages = spark.read.parquet(f"{SF}/documents.parquet").selectExpr(
+        "doc_id", "concat('https://h', doc_id % 7, '.example.co.uk/p',"
+        " doc_id) AS url")
+    plan = plan_of(pages.select(
+        domains.registered_domain_expr(F.col("url")).alias("domain")))
+    assert "Exchange" not in plan, plan
+    assert "PythonUDF" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dedup_lines_winner_exchange_carries_keys_not_text(spark):
+    """The line-dedup winner-election aggregation must shuffle only the
+    md5 key + the partial-min (doc_id, pos) struct — never the line
+    text (DESIGN.md's shuffle-inventory claim, pinned).  The formatted
+    explain lists each Exchange's input attributes; a window/row_number
+    formulation would show [doc_id, pos, line, _k] here instead."""
+    from geonames_rdf_spark.operators import lines as L
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet") \
+        .select("doc_id", "text")
+    df = L.dedup_lines(docs, min_chars=2)
+    fmt = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    election = [
+        b for b in fmt.split("\n\n")
+        if b.splitlines() and "Exchange" in b.splitlines()[0]
+        and "hashpartitioning(_k" in b and "min#" in b
+    ]
+    assert election, fmt  # the key-only winner election exists
+    for b in election:
+        inputs = b.split("Input")[1].splitlines()[0]
+        assert "line" not in inputs and "text" not in inputs, b
