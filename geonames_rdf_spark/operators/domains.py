@@ -112,10 +112,22 @@ def domain_stats(pages: DataFrame, url_col: str = "url",
             .drop("_total"))
 
 
+#: Route a domain to the salted-threshold path once its row count
+#: exceeds this — below it, one reducer's spillable rank-only window is
+#: both exact and CHEAPER (the salted path pays ~3 extra scans/shuffles:
+#: measured 4.5 s vs 1.2 s on a 500 k-row hot domain, scripts/
+#: domain_cap_ab.py).  10^7 rows sort in ~10 s on one core; a 10^9-row
+#: domain would hold a reducer for ~hours, which is what the salted
+#: path bounds.
+DEFAULT_WINDOW_MAX_ROWS = 10_000_000
+
+
 def cap_per_domain(pages: DataFrame, max_docs: int,
                    url_col: str = "url",
                    order_col: str = "warc_ts",
-                   salt: int = 16) -> DataFrame:
+                   salt: int = 16,
+                   window_max_rows: int = DEFAULT_WINDOW_MAX_ROWS
+                   ) -> DataFrame:
     """RefinedWeb-style per-domain cap: keep at most ``max_docs``
     documents per registered domain — earliest ``order_col`` first,
     ties to the lexicographically smallest url.  (``(order_col,
@@ -125,51 +137,63 @@ def cap_per_domain(pages: DataFrame, max_docs: int,
     dropped — callers filter on ``domain_kept`` to apply the cap, or
     keep the flag for audit).
 
-    Skew shape — the cap targets exactly the keys that break naive
-    windows, so it must not use one:
+    Skew shape — data-driven routing on the pre-aggregated per-domain
+    counts (the same raise-or-route discipline as ``pack_sequences``'
+    group guard and the kNN oversize router):
 
-    * Only domains whose total count EXCEEDS the cap (the Zipf head,
-      found by a map-side-combinable pre-aggregation) do any ranking
-      work at all; the under-cap tail — virtually all rows at web
-      scale — is flagged kept without touching another exchange.
-    * For the head, there is NO full-domain sort anywhere: rows are
-      salted ``salt`` ways, each ``(domain, salt)`` slice ranks its
-      own top-``max_docs`` candidates in parallel (a 10^9-page domain
-      sorts as ``salt`` independent 1/salt-sized spillable sorts, not
-      one reducer), the ≤ ``salt × max_docs`` survivors per domain
-      yield the domain's exact ``max_docs``-th smallest ``(order,
-      url)`` key, and keeping is a broadcast threshold comparison —
-      ``key <= threshold`` — against that dimension-sized table.
-      Raise ``salt`` to shrink the straggler further; results are
-      identical for any value.
+    * under-cap domains — virtually all rows at web scale — are
+      flagged kept straight off the broadcast anti-join, no ranking
+      exchange at all;
+    * over-cap domains up to ``window_max_rows`` take ONE rank-only
+      window (streamed, spillable sort — measured 4x cheaper than the
+      threshold machinery at sandbox scale, scripts/domain_cap_ab.py);
+    * monster domains above the bound — the 10^9-page hosts that would
+      hold a single reducer for hours — take the salted-threshold
+      path: each ``(domain, salt)`` slice ranks its own
+      top-``max_docs`` in parallel, the ≤ ``salt × max_docs``
+      survivors yield the domain's exact ``max_docs``-th smallest
+      ``(order, url)`` key, and keeping is a broadcast threshold
+      comparison.  Identical output on every route (salt-invariance
+      and route-equivalence pytest-pinned); AQE's empty-relation
+      propagation skips the monster branch's scans entirely when no
+      domain crosses the bound.
     """
     dom = registered_domain_expr(F.col(url_col)).alias("domain")
     with_dom = pages.select("*", dom)
-    over = (with_dom.groupBy("domain")
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .filter(F.col("_n") > max_docs)
-            .select("domain"))
-    tail = (with_dom.join(F.broadcast(over), "domain", "left_anti")
+    counts = with_dom.groupBy("domain").agg(F.count(F.lit(1)).alias("_n"))
+    over = counts.filter(F.col("_n") > max_docs)
+    tail = (with_dom.join(F.broadcast(over.select("domain")),
+                          "domain", "left_anti")
             .withColumn("domain_kept", F.lit(True)))
 
     key = F.struct(F.col(order_col).alias("o"),
                    F.col(url_col).alias("u")).alias("_key")
-    head = with_dom.join(F.broadcast(over), "domain")
-    cand = (head.select("domain", key,
-                        F.pmod(F.xxhash64(F.col(url_col)),
-                               F.lit(salt)).alias("_s"))
+    win_doms = over.filter(F.col("_n") <= window_max_rows).select("domain")
+    big_doms = over.filter(F.col("_n") > window_max_rows).select("domain")
+
+    w = (Window.partitionBy("domain").orderBy(F.col(order_col).asc(),
+                                              F.col(url_col).asc()))
+    head_win = (with_dom.join(F.broadcast(win_doms), "domain")
+                .withColumn("domain_kept",
+                            F.row_number().over(w) <= F.lit(max_docs)))
+
+    head_big = with_dom.join(F.broadcast(big_doms), "domain")
+    cand = (head_big.select("domain", key,
+                            F.pmod(F.xxhash64(F.col(url_col)),
+                                   F.lit(salt)).alias("_s"))
             .withColumn("_rn", F.row_number().over(
                 Window.partitionBy("domain", "_s")
                 .orderBy(F.col("_key").asc())))
             .filter(F.col("_rn") <= max_docs))
     # exact per-domain threshold from the salted candidates (a
-    # dimension-sized frame: <= salt * max_docs rows per head domain)
+    # dimension-sized frame: <= salt * max_docs rows per big domain)
     thr = (cand.withColumn("_gn", F.row_number().over(
                 Window.partitionBy("domain")
                 .orderBy(F.col("_key").asc())))
            .filter(F.col("_gn") == max_docs)
            .select("domain", F.col("_key").alias("_thr")))
-    head = (head.join(F.broadcast(thr), "domain")
-            .withColumn("domain_kept", key <= F.col("_thr"))
-            .drop("_thr"))
-    return tail.unionByName(head.select(*tail.columns))
+    head_big = (head_big.join(F.broadcast(thr), "domain")
+                .withColumn("domain_kept", key <= F.col("_thr"))
+                .drop("_thr"))
+    return (tail.unionByName(head_win.select(*tail.columns))
+            .unionByName(head_big.select(*tail.columns)))

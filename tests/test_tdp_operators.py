@@ -1213,11 +1213,16 @@ def test_cap_per_domain_salt_invariant_vs_window(spark):
     want = [(r["url"], r["domain"], r["domain_kept"])
             for r in ref.collect()]
 
-    for salt in (1, 3, 16):
-        got = (domains.cap_per_domain(pages, max_docs=5, salt=salt)
-               .orderBy("url", "warc_ts"))
-        assert [(r["url"], r["domain"], r["domain_kept"])
-                for r in got.collect()] == want, f"salt={salt}"
+    # window_max_rows=0 forces every over-cap domain down the salted
+    # threshold route; the default routes them all through the plain
+    # window — both must equal the naive reference for every salt
+    for wmax in (0, domains.DEFAULT_WINDOW_MAX_ROWS):
+        for salt in (1, 3, 16):
+            got = (domains.cap_per_domain(pages, max_docs=5, salt=salt,
+                                          window_max_rows=wmax)
+                   .orderBy("url", "warc_ts"))
+            assert [(r["url"], r["domain"], r["domain_kept"])
+                    for r in got.collect()] == want, (wmax, salt)
 
 
 def test_near_dup_clusters_chain_transitive(spark):
