@@ -157,6 +157,12 @@ def cap_per_domain(pages: DataFrame, max_docs: int,
       and route-equivalence pytest-pinned); AQE's empty-relation
       propagation skips the monster branch's scans entirely when no
       domain crosses the bound.
+
+    Rows whose domain is NULL (unparseable url) are EXEMPT from the
+    cap — flagged kept, pytest-pinned.  Capping "unknown" as one giant
+    pseudo-domain would throw away arbitrary rows for a parsing gap;
+    callers who want them gone should filter on ``domain IS NULL``
+    explicitly.
     """
     dom = registered_domain_expr(F.col(url_col)).alias("domain")
     with_dom = pages.select("*", dom)

@@ -1140,6 +1140,18 @@ def test_cap_per_domain_and_stats(spark):
     assert abs(stats["big.com"]["share"] - 6 / 9) < 1e-12
     assert stats["tiny.net"]["n_docs"] == 2
 
+    # NULL-domain rows (unparseable urls) are EXEMPT from the cap even
+    # when they outnumber it — flagged kept, never ranked as one giant
+    # pseudo-domain
+    noise = spark.createDataFrame(
+        [(f"no scheme here {i}", f"2026-03-{i + 1:02d}") for i in range(5)]
+        + [("https://real.org/a", "2026-03-01")],
+        "url string, warc_ts string")
+    out2 = domains.cap_per_domain(noise, max_docs=2).collect()
+    assert len(out2) == 6
+    assert all(r["domain_kept"] for r in out2)
+    assert sum(r["domain"] is None for r in out2) == 5
+
 
 def test_dedup_lines_duck_parity(spark, duck):
     """lines.dedup_lines == the independent DuckDB window formulation:
@@ -1200,7 +1212,10 @@ def test_cap_per_domain_salt_invariant_vs_window(spark):
         rows.append((f"https://also.co.uk/x{i}",
                      f"2026-01-0{(i % 3) + 1} 12:00:0{i}"))
     rows += [("https://small.net/a", "2026-02-01 00:00:00"),
-             ("https://tiny.io/b", "2026-02-02 00:00:00")]
+             ("https://tiny.io/b", "2026-02-02 00:00:00"),
+             # NULL order value inside an over-cap domain: both routes
+             # must place it identically (nulls first under asc)
+             ("https://x.mega.com/null-ts", None)]
     pages = spark.createDataFrame(rows, "url string, warc_ts string")
 
     # naive reference: rank over the whole domain
