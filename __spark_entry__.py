@@ -379,8 +379,12 @@ def _q_warc_url_roundtrip(spark, sf_dir):
     capped = domains.cap_per_domain(kept, max_docs=oracle._DOMAIN_CAP,
                                     url_col="url_canonical",
                                     order_col="warc_ts")
-    return capped.select(
+    stats = domains.domain_stats(kept, url_col="url_canonical") \
+        .select("domain", "n_docs",
+                F.round(F.col("share"), 6).alias("domain_share"))
+    return capped.join(stats, "domain").select(
         "url", "url_canonical", "domain", "domain_kept",
+        "n_docs", "domain_share",
         F.unix_micros(F.col("warc_ts").cast("timestamp_ltz")).alias("ts_us"),
         F.col("html").cast("string").alias("text"),
     )

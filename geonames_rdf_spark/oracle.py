@@ -806,10 +806,14 @@ kept AS (
   ) WHERE rn = 1
 )
 SELECT url, url_canonical, domain,
-       drn <= {_DOMAIN_CAP} AS domain_kept, ts_us, text
+       drn <= {_DOMAIN_CAP} AS domain_kept,
+       n_docs, round(n_docs / CAST(total AS DOUBLE), 6) AS domain_share,
+       ts_us, text
 FROM (
   SELECT *, ROW_NUMBER() OVER (
-    PARTITION BY domain ORDER BY ts_us ASC, url_canonical ASC) AS drn
+    PARTITION BY domain ORDER BY ts_us ASC, url_canonical ASC) AS drn,
+    COUNT(*) OVER (PARTITION BY domain) AS n_docs,
+    COUNT(*) OVER () AS total
   FROM (SELECT *, {domain_oracle_expr('url_canonical')} AS domain
         FROM kept)
 )
