@@ -25,6 +25,15 @@ path that scales.  Prints ONE JSON line.  Run on a QUIET host
 visible.
 
     python3 scripts/domain_cap_ab.py [hot_rows] [tail_domains] [salt]
+
+r07 adds the broadcast-routing A/B (VERDICT r06 #1): a corpus whose
+over-cap set is LARGE BY DOMAIN COUNT (millions of distinct over-cap
+domains — the shape that makes a forced broadcast of the set a driver
+killer at web scale), timing the broadcast-hinted joins against the
+unhinted shuffle fallback cap_per_domain routes to above
+``broadcast_max_domains``.  Same interleaved best-of-2 methodology.
+
+    python3 scripts/domain_cap_ab.py --broadcast-ab [over_domains] [rows_per]
 """
 
 from __future__ import annotations
@@ -44,7 +53,58 @@ from geonames_rdf_spark.session import get_spark  # noqa: E402
 CAP = 1000
 
 
+def broadcast_ab() -> None:
+    """Time the over-cap-set joins with the broadcast hint vs the
+    unhinted shuffle fallback, on a corpus with a huge over-cap set BY
+    DOMAIN COUNT (every domain 1 row over a cap of rows_per - 1)."""
+    over_domains = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000
+    rows_per = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    cap = rows_per - 1
+    spark = get_spark(app_name="domain_cap_broadcast_ab")
+
+    # distinct REGISTERED domains (2-label hosts): over-N.org, not
+    # subdomains of one registrable suffix
+    pages = spark.range(over_domains * rows_per).select(
+        F.concat(F.lit("https://over-"),
+                 (F.col("id") % over_domains).cast("string"),
+                 F.lit(".org/p"), F.col("id").cast("string"))
+        .alias("url"),
+        F.col("id").alias("ord"))
+    pages.write.mode("overwrite").parquet("/tmp/domain_cap_bcast_in")
+    pages = spark.read.parquet("/tmp/domain_cap_bcast_in")
+    pages.count()  # warm footers + JIT outside the measured region
+
+    def run(bound: int):
+        t0 = time.time()
+        out = domains.cap_per_domain(pages, cap, url_col="url",
+                                     order_col="ord",
+                                     broadcast_max_domains=bound)
+        n = out.filter("domain_kept").count()
+        return round(time.time() - t0, 3), n
+
+    bcast, shuf = [], []
+    for _ in range(2):  # interleaved best-of-2 (house methodology)
+        bcast.append(run(1 << 62))  # hint always fires
+        shuf.append(run(0))         # hint never fires -> shuffle joins
+    t_b, n_b = min(bcast)
+    t_s, n_s = min(shuf)
+    print(json.dumps({
+        "mode": "broadcast_ab", "over_domains": over_domains,
+        "rows_per_domain": rows_per, "cap": cap,
+        "kept_broadcast": n_b, "kept_shuffle": n_s,
+        "kept_equal": n_b == n_s,
+        "t_broadcast_hint_s": t_b, "t_shuffle_fallback_s": t_s,
+        "broadcast_max_domains_default":
+            domains.DEFAULT_BROADCAST_MAX_DOMAINS,
+        "uptime": os.popen("uptime").read().strip(),
+    }))
+    spark.stop()
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--broadcast-ab":
+        broadcast_ab()
+        return
     hot = int(sys.argv[1]) if len(sys.argv) > 1 else 5_000_000
     tail = int(sys.argv[2]) if len(sys.argv) > 2 else 200_000
     salt = int(sys.argv[3]) if len(sys.argv) > 3 else 16

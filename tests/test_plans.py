@@ -179,6 +179,43 @@ def test_registered_domain_no_shuffle_no_python(spark):
     assert "PythonUDF" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_cap_per_domain_routes_overcap_set_off_broadcast(spark):
+    """The over-cap domain set is unbounded (the Zipf head by domain
+    count), so its three joins must NOT force a broadcast above the
+    routing bound: with autoBroadcastJoinThreshold disabled — so the
+    ONLY way a broadcast can appear is the operator's own hint — a
+    many-over-cap-domains corpus under a tiny bound plans zero
+    broadcast joins, while the same corpus under the default bound
+    plans all of them broadcast.  Kept sets identical either way."""
+    from geonames_rdf_spark.operators import domains
+
+    # 300 window-route domains (4 rows each) + 20 monster-route domains
+    # (6 rows each, over window_max_rows=5): every routed set — over,
+    # window, big — exceeds the tiny bound, so NO join may broadcast
+    rows = [(f"https://d{i}.com/p{j}", f"2026-01-{j + 1:02d}")
+            for i in range(300) for j in range(4)]
+    rows += [(f"https://m{i}.com/p{j}", f"2026-01-{j + 1:02d}")
+             for i in range(20) for j in range(6)]
+    pages = spark.createDataFrame(rows, "url string, warc_ts string")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        routed = domains.cap_per_domain(pages, max_docs=2,
+                                        window_max_rows=5,
+                                        broadcast_max_domains=10)
+        assert "BroadcastHashJoin" not in plan_of(routed), plan_of(routed)
+        assert "BroadcastNestedLoopJoin" not in plan_of(routed)
+        hinted = domains.cap_per_domain(pages, max_docs=2,
+                                        window_max_rows=5)
+        assert "SortMergeJoin" not in plan_of(hinted), plan_of(hinted)
+        assert "BroadcastHashJoin" in plan_of(hinted)
+        a = sorted(r["url"] for r in routed.collect() if r["domain_kept"])
+        b = sorted(r["url"] for r in hinted.collect() if r["domain_kept"])
+        assert a == b and len(a) == 640
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_dedup_lines_winner_exchange_carries_keys_not_text(spark):
     """The line-dedup winner-election aggregation must shuffle only the
     md5 key + the partial-min (doc_id, pos) struct — never the line

@@ -1240,6 +1240,27 @@ def test_cap_per_domain_salt_invariant_vs_window(spark):
                     for r in got.collect()] == want, (wmax, salt)
 
 
+def test_cap_per_domain_big_route_enforces_unique_keys(spark):
+    """The salted-threshold route's exactness precondition — unique
+    (order, url) per row within a monster domain — is ENFORCED when
+    that route fires (duplicate keys would make `key <= threshold` keep
+    more than max_docs rows, silently), and NOT probed on the window
+    route, whose row_number stays exact under ties."""
+    import pytest as _pytest
+
+    from geonames_rdf_spark.operators import domains
+
+    rows = ([("https://dupe.com/same", "2026-01-01")] * 3
+            + [(f"https://dupe.com/p{i}", f"2026-01-{i + 2:02d}")
+               for i in range(5)])
+    pages = spark.createDataFrame(rows, "url string, warc_ts string")
+    with _pytest.raises(ValueError, match="duplicate \\(order, url\\)"):
+        domains.cap_per_domain(pages, max_docs=2, window_max_rows=0)
+    # window route: exact count even with the duplicate keys present
+    out = domains.cap_per_domain(pages, max_docs=2)
+    assert sum(r["domain_kept"] for r in out.collect()) == 2
+
+
 def test_near_dup_clusters_chain_transitive(spark):
     """Pairwise hits A~B, B~C consolidate into ONE cluster labeled by
     the smallest id — the keep-set {A} — even though the A~C pair was
