@@ -132,14 +132,19 @@ def _q_c5(spark, sf_dir):
 
 
 def _q_dedup_lines(spark, sf_dir):
-    """C4-style cross-corpus line-level exact dedup (r06 operator):
-    multi-line documents are assembled deterministically from the
-    documents table (20 grouped docs sharing an injected boilerplate
-    header/footer, bodies = the member texts in doc_id order), then
-    every line is kept only at its globally-first (doc_id, pos)
-    occurrence and documents are rebuilt — boilerplate survives exactly
-    once, short lines are exempt, duplicate natural lines across groups
-    collapse the same way in both engines."""
+    """C4-style cross-corpus exact dedup at BOTH granularities in one
+    row (r06 operator + r07 spans): multi-line documents are assembled
+    deterministically from the documents table (20 grouped docs sharing
+    an injected boilerplate header/footer, bodies = the member texts in
+    doc_id order), then
+
+    * branch 'lines': every line kept only at its globally-first
+      (doc_id, pos) occurrence, rebuilt — boilerplate survives once,
+      short lines exempt;
+    * branch 'spans3': the C4-faithful three-sentence-span unit
+      (lines.dedup_spans) over the same corpus — the oracle recomputes
+      it via the independent floor-grouped sentinel-split formulation.
+    """
     from geonames_rdf_spark.operators import lines as L
 
     d = _docs(spark, sf_dir)
@@ -153,7 +158,11 @@ def _q_dedup_lines(spark, sf_dir):
                            lambda s: s.text), "\n"),
                    F.lit("\nCC-LICENSE FOOTER v1")).alias("text"))
                .select(F.col("_g").alias("doc_id"), "text"))
-    return L.dedup_lines(grouped, min_chars=2)
+    by_line = L.dedup_lines(grouped, min_chars=2) \
+        .select(F.lit("lines").alias("branch"), "*")
+    by_span = L.dedup_spans(grouped, n_sentences=3) \
+        .select(F.lit("spans3").alias("branch"), "*")
+    return by_line.unionByName(by_span)
 
 
 def _q_c8(spark, sf_dir):

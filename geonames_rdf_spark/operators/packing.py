@@ -62,6 +62,13 @@ def pack_sequences(docs: DataFrame, seq_len: int = 2048,
     """
     import pandas as pd
 
+    # validate the mode at entry (ADVICE r06): a typo'd on_oversize must
+    # fail the first small-scale run, not a production-size corpus when
+    # the threshold finally trips
+    if on_oversize not in ("raise", "split"):
+        raise ValueError("on_oversize must be 'raise' or 'split',"
+                         f" got {on_oversize!r}")
+
     # md5-derived bucket (15 hex digits = 60 bits, fits a signed long):
     # like the sampler's uniform_hash, md5 — not xxhash64 — keeps the
     # assignment engine-portable, so the DuckDB oracle replays packing
@@ -103,9 +110,6 @@ def pack_sequences(docs: DataFrame, seq_len: int = 2048,
                     " lower max_group_rows with on_oversize='split', or"
                     " pass max_group_rows=None to opt into unbounded"
                     " per-bucket pandas frames")
-            if on_oversize != "split":
-                raise ValueError("on_oversize must be 'raise' or 'split',"
-                                 f" got {on_oversize!r}")
             n_splits = -(-mx // max_group_rows)  # ceil
 
     group_keys = ["bucket"]

@@ -821,13 +821,15 @@ FROM (
 
 
 def _dedup_lines_sql() -> str:
-    """Oracle for operators.lines.dedup_lines (r06): the SAME grouped
-    multi-line corpus the Spark row assembles (20 docs sharing an
-    injected boilerplate header/footer, bodies = member texts in doc_id
-    order), deduped by the independent window formulation in
-    lines.dedup_lines_sql — global first-occurrence wins, short lines
-    exempt."""
-    from geonames_rdf_spark.operators.lines import dedup_lines_sql
+    """Oracle for operators.lines.dedup_lines + dedup_spans (r06/r07):
+    the SAME grouped multi-line corpus the Spark row assembles (20 docs
+    sharing an injected boilerplate header/footer, bodies = member
+    texts in doc_id order), deduped by the independent window
+    formulations in lines.dedup_lines_sql / dedup_spans_sql — global
+    first-occurrence wins; branch 'lines' = line units with short lines
+    exempt, branch 'spans3' = C4-faithful three-sentence spans."""
+    from geonames_rdf_spark.operators.lines import (dedup_lines_sql,
+                                                    dedup_spans_sql)
 
     grouped = """
 SELECT doc_id % 20 AS doc_id,
@@ -836,7 +838,10 @@ SELECT doc_id % 20 AS doc_id,
        'CC-LICENSE FOOTER v1' AS text
 FROM documents GROUP BY doc_id % 20
 """
-    return dedup_lines_sql(grouped, min_chars=2)
+    return (f"SELECT 'lines' AS branch, * FROM ("
+            f"{dedup_lines_sql(grouped, min_chars=2)})"
+            f" UNION ALL SELECT 'spans3' AS branch, * FROM ("
+            f"{dedup_spans_sql(grouped, n_sentences=3)})")
 
 
 def _kg_scoped_changelog_sql() -> str:

@@ -161,3 +161,29 @@ def write_guard_metrics(spark: SparkSession, out_dir: str, name: str,
 
 def read_guard_metrics(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.read.parquet(f"{out_dir}/metrics")
+
+
+# --- stage counters (VERDICT r06 #7) ---------------------------------------
+
+def write_stage_counters(spark: SparkSession, out_dir: str, stage: str,
+                         counters: dict) -> None:
+    """Persist a stage's kept/removed counters as (metric, value) rows
+    under ``<out>/stage_metrics/stage=<stage>/``.
+
+    The curation gates (domain cap, line dedup, quality/decontam) each
+    report how much corpus they removed; at production scale those
+    numbers are run artifacts the NEXT run audits (did the cap suddenly
+    eat 30% of the corpus?), not stdout lines — the same reasoning as
+    ``write_guard_metrics`` for the LSH guards.  Long-only values, one
+    private directory per stage (concurrent-writer safe, partition
+    discoverable).  Separate root from the guard metrics table because
+    the schemas differ.
+    """
+    rows = [(str(k), int(v)) for k, v in counters.items() if v is not None]
+    df = spark.createDataFrame(rows, "metric string, value bigint")
+    df.coalesce(1).write.mode("overwrite").parquet(
+        f"{out_dir}/stage_metrics/stage={stage}")
+
+
+def read_stage_counters(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{out_dir}/stage_metrics")

@@ -19,7 +19,19 @@ misdescribed the pack budget as BPE-ish — retired in r06).  Writes:
   <out>/curated/   (doc_id, source, lang, quality)
   <out>/chunks/    (doc_id, chunk_id, n_tokens, chunk_text) when chunking
   <out>/packs/     (unit ids, n_tokens, bucket, pack_id, oversized)
+  <out>/stage_metrics/  (per-stage kept/removed counters, lineage table)
 and prints ONE JSON metrics line.
+
+One pass per stage (VERDICT r06 #2): every frame consumed by more than
+one downstream — the capped corpus, the line-dedup output, the kept
+set — is persist()ed, so its most expensive shuffle runs ONCE and the
+stage counters read the cached result instead of re-deriving the plan
+(the line-dedup output used to be fully computed twice: once for its
+removed-count collect, once for the join).  The counters then land in a
+lineage stage_metrics table, not just this process's stdout — at
+production scale a curation run's kept/removed per gate is an artifact
+the next run reads, not a log line (same discipline as the LSH guard
+telemetry in pipeline/lineage.py).
 """
 
 from __future__ import annotations
@@ -28,7 +40,7 @@ import argparse
 import json
 
 
-def main() -> None:
+def build_arg_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", required=True,
                     help="documents parquet (doc_id, text, source, lang)")
@@ -63,32 +75,46 @@ def main() -> None:
                     help="C4-style cross-corpus line dedup before"
                          " scoring: every line >= MIN_CHARS survives"
                          " only at its globally-first occurrence")
-    args = ap.parse_args()
+    return ap
 
-    from pyspark.sql import SparkSession
+
+def run(spark, args: argparse.Namespace) -> dict:
+    """The job body against an existing session (testable in-process;
+    ``main`` wraps it with session setup/teardown).  Returns the metrics
+    dict it also prints and persists."""
+    from pyspark import StorageLevel
     from pyspark.sql import functions as F
 
     from geonames_rdf_spark.operators import curate, packing, textstats
-
-    spark = SparkSession.builder.appName("curate").getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    from geonames_rdf_spark.pipeline import lineage
 
     docs = spark.read.parquet(args.docs)
+    # parquet count() is footer metadata, not a data scan — cheap
     n_input = docs.count()
     n_after_domain = n_lines_removed = None
+    persisted = []
     if args.max_per_domain is not None:
         from geonames_rdf_spark.operators import domains
 
         if "url" not in docs.columns:
             raise SystemExit("--max-per-domain requires a url column")
+        # persisted: the capped corpus feeds line-dedup (several
+        # subtrees), the LM trainer and the curation plan — one compute
         docs = (domains.cap_per_domain(docs, args.max_per_domain,
                                        url_col="url", order_col="doc_id")
-                .filter("domain_kept").drop("domain", "domain_kept"))
+                .filter("domain_kept").drop("domain", "domain_kept")
+                .persist(StorageLevel.MEMORY_AND_DISK))
+        persisted.append(docs)
         n_after_domain = docs.count()
     if args.dedup_lines is not None:
         from geonames_rdf_spark.operators import lines as L
 
-        dl = L.dedup_lines(docs, min_chars=args.dedup_lines)
+        # persisted: the counter aggregate used to re-run the whole
+        # line-dedup (the job's most expensive shuffle) a second time
+        # for the join
+        dl = L.dedup_lines(docs, min_chars=args.dedup_lines) \
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        persisted.append(dl)
         n_lines_removed = int(
             dl.agg(F.sum("n_lines_removed")).collect()[0][0] or 0)
         docs = (docs.drop("text")
@@ -105,8 +131,14 @@ def main() -> None:
         lm=lm, max_ppl=args.max_ppl, max_pii=args.max_pii)
     curated.write.mode("overwrite").parquet(f"{args.out}/curated")
     curated = spark.read.parquet(f"{args.out}/curated")
+    n_curated = curated.count()
 
-    kept_docs = docs.join(curated.select("doc_id"), "doc_id", "left_semi")
+    # persisted: the kept set feeds chunking AND the packer, whose
+    # group-size pre-flight would otherwise re-execute the curation
+    # join in the non-chunk path
+    kept_docs = docs.join(curated.select("doc_id"), "doc_id", "left_semi") \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    persisted.append(kept_docs)
     n_chunks = None
     count_col = None
     if args.chunk_tokens is not None:
@@ -142,17 +174,35 @@ def main() -> None:
         F.round(F.avg("fill"), 4).alias("mean_fill"),
         F.sum(F.col("has_oversized").cast("int")).alias("oversized_packs"),
     ).collect()[0]
-    print(json.dumps({
+    metrics = {
         "input_docs": n_input,
         "after_domain_cap": n_after_domain,
         "dedup_lines_removed": n_lines_removed,
-        "curated_docs": curated.count(),
+        "curated_docs": n_curated,
         "n_packs": agg["n_packs"],
-        "mean_fill": agg["mean_fill"],
+        "mean_fill": (float(agg["mean_fill"])
+                      if agg["mean_fill"] is not None else None),
         "oversized_packs": agg["oversized_packs"],
         "seq_len": args.seq_len,
         "n_chunks": n_chunks,
-    }))
+    }
+    lineage.write_stage_counters(
+        spark, args.out, "curate",
+        {k: v for k, v in metrics.items()
+         if k != "mean_fill" and v is not None})
+    for df in persisted:
+        df.unpersist()
+    print(json.dumps(metrics))
+    return metrics
+
+
+def main() -> None:
+    args = build_arg_parser().parse_args()
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("curate").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    run(spark, args)
     spark.stop()
 
 

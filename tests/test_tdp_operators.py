@@ -1168,6 +1168,7 @@ def test_dedup_lines_duck_parity(spark, duck):
         (3, "SHARED BOILERPLATE COOKIE BANNER"),   # -> empty after dedup
         (4, "a\nb\na"),                            # short lines exempt
         (5, ""),
+        (6, None),                                 # NULL text == empty
     ]
     pdf = pd.DataFrame(docs, columns=["doc_id", "text"])
     d = spark.createDataFrame(pdf)
@@ -1188,6 +1189,72 @@ def test_dedup_lines_duck_parity(spark, duck):
     assert rows[3]["text"] == "" and rows[3]["n_lines_kept"] == 0
     assert rows[4]["text"] == "a\nb\na"  # 1-char lines never deduped
     assert rows[5]["n_lines_kept"] == 1  # the single empty line, exempt
+    # ADVICE r06: NULL-text docs honor the one-row-per-input contract
+    # (they used to vanish — posexplode of NULL yields no rows)
+    assert rows[6]["text"] == "" and rows[6]["n_lines_kept"] == 1
+
+    # the library default is pinned POSITIVE (a forgotten knob must not
+    # dedup one-word lines corpus-wide) and the engines share it
+    assert L.DEFAULT_MIN_CHARS > 0
+    got_def = L.dedup_lines(d)
+    want_def = duck.execute(
+        L.dedup_lines_sql("SELECT * FROM line_fixture")
+        + " ORDER BY doc_id").df()
+    assert_df_parity(got_def, want_def)
+    def_rows = {r["doc_id"]: r for r in got_def.collect()}
+    assert def_rows[4]["text"] == "a\nb\na"  # short lines still exempt
+    assert def_rows[1]["n_lines_removed"] == 1  # banner still deduped
+
+
+def test_dedup_spans_c4_duck_parity(spark, duck):
+    """lines.dedup_spans: the C4-faithful unit — non-overlapping
+    three-sentence spans — deduped globally at first occurrence, with
+    the independent DuckDB twin (floor-grouped sentinel split) agreeing
+    exactly."""
+    import pandas as pd
+
+    from geonames_rdf_spark.operators import lines as L
+
+    banner = ("This site uses cookies. Accept all to continue. "
+              "See our policy for details.")
+    docs = [
+        (0, banner + " Unique alpha sentence one. Alpha two. Alpha "
+            "three. Alpha trailing partial."),
+        (1, banner + " Unique beta sentence."),
+        (2, "No boilerplate here. Just two sentences."),
+        (3, banner),                    # span-only doc -> empty after dedup
+        (4, None),
+    ]
+    pdf = pd.DataFrame(docs, columns=["doc_id", "text"])
+    d = spark.createDataFrame(pdf)
+    duck.register("span_fixture", pdf)
+
+    got = L.dedup_spans(d, n_sentences=3)
+    want = duck.execute(
+        L.dedup_spans_sql("SELECT * FROM span_fixture", n_sentences=3)
+        + " ORDER BY doc_id").df()
+    assert_df_parity(got, want)
+
+    rows = {r["doc_id"]: r for r in got.collect()}
+    # doc 0 owns the banner span's first occurrence; docs 1 and 3 lose it
+    assert rows[0]["text"].startswith(banner)
+    assert "Alpha trailing partial." in rows[0]["text"]  # partial window
+    assert rows[1]["text"] == "Unique beta sentence."
+    assert rows[1]["n_lines_removed"] == 1
+    assert rows[3]["text"] == "" and rows[3]["n_lines_kept"] == 0
+    assert rows[4]["text"] == "" and rows[4]["n_lines_kept"] == 1
+
+
+def test_pack_sequences_validates_on_oversize_at_entry(spark):
+    """A typo'd on_oversize fails immediately — not only when the
+    group-size threshold finally trips on a production corpus."""
+    import pytest as _pytest
+
+    from geonames_rdf_spark.operators import packing
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id bigint, text string")
+    with _pytest.raises(ValueError, match="on_oversize"):
+        packing.pack_sequences(docs, on_oversize="typo")  # guard not tripped
 
 
 def test_cap_per_domain_salt_invariant_vs_window(spark):
