@@ -8,14 +8,21 @@ Both need the registered domain — the public-suffix boundary, not the
 raw host: `a.blog.example.co.uk` and `b.example.co.uk` are the SAME
 publisher (`example.co.uk`), while `foo.org` and `bar.org` are not.
 
-A full Public Suffix List is an external artifact (not available here,
-and a moving target); the deterministic approximation below keeps the
-last TWO host labels, or the last THREE when the final two labels form
-a well-known two-level suffix (``co.uk``-style, the ``_SUFFIX2`` table).
-The table is defined once and rendered into BOTH engines — a Spark
-Column expression (codegen, zero shuffle) and a DuckDB scalar SQL
-expression — so the two cannot drift; parity is pytest-pinned and on
-the driver's warc+url oracle hash path.
+A full live Public Suffix List is an external artifact (a moving
+target, and not fetchable from this offline container); the boundary
+instead uses the PINNED registry-suffix snapshot in ``psl_snapshot.py``
+(~600 two-level ``co.uk``-style entries across the major ccTLD schemes
+plus the systematic three-level families, ``k12.<state>.us`` /
+``act.edu.au``-style — see that module's documented misattribution
+bound: missing suffixes degrade conservatively, collapsing publishers
+together, never splitting one apart).  The rule: keep the last TWO host
+labels, or the last THREE when the final two form a ``SUFFIX2`` entry,
+or the last FOUR when the final three form a ``SUFFIX3`` entry.  The
+tables are defined once and rendered into BOTH engines — a Spark Column
+expression (codegen, zero shuffle; ``isin`` over a few hundred literals
+compiles to an O(1) ``InSet``) and a DuckDB scalar SQL expression — so
+the two cannot drift; parity is pytest-pinned over adversarial hosts
+and on the driver's warc+url oracle hash path.
 
 Scale notes (10^12 pages):
 
@@ -38,14 +45,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
-# Two-level public suffixes where the registered domain needs THREE
-# labels.  Deliberately small + pinned (a deterministic approximation,
-# NOT the live PSL); extend by appending — order is irrelevant.
-_SUFFIX2: tuple[str, ...] = (
-    "co.uk", "ac.uk", "gov.uk", "org.uk", "co.jp", "ne.jp", "or.jp",
-    "com.au", "net.au", "org.au", "co.in", "co.nz", "com.br", "com.cn",
-    "com.mx", "co.za", "com.ar", "com.tr", "co.kr", "com.sg",
-)
+from geonames_rdf_spark.operators.psl_snapshot import SUFFIX2, SUFFIX3
+
+# backwards-compat alias (pre-r07 the 20-entry table lived here)
+_SUFFIX2 = SUFFIX2
 
 
 def host_expr(url: Column) -> Column:
@@ -58,23 +61,28 @@ def host_expr(url: Column) -> Column:
 
 def registered_domain_expr(url: Column) -> Column:
     """Registered domain of ``url`` as a Column expression: last two
-    host labels, or last three when the last two are a ``_SUFFIX2``
-    entry.  Hosts with a single label (``localhost``) and IPv4 literals
-    pass through whole."""
+    host labels, or last three when the last two are a ``SUFFIX2``
+    entry, or last four when the last three are a ``SUFFIX3`` entry
+    (the host passes through whole when it IS the suffix).  Hosts with
+    a single label (``localhost``) and IPv4 literals pass through
+    whole."""
     host = host_expr(url)
     labels = F.split(host, r"\.")
     n = F.size(labels)
     last2 = F.array_join(F.slice(labels, -2, 2), ".")
     last3 = F.array_join(F.slice(labels, -3, 3), ".")
+    last4 = F.array_join(F.slice(labels, -4, 4), ".")
     is_ip = host.rlike(r"^\d+\.\d+\.\d+\.\d+$")
     return (F.when(host.isNull() | (n <= 2) | is_ip, host)
-            .when(last2.isin(*_SUFFIX2), last3)
+            .when((n > 3) & last3.isin(*SUFFIX3), last4)
+            .when(last2.isin(*SUFFIX2), last3)
             .otherwise(last2))
 
 
 def domain_oracle_expr(col_sql: str) -> str:
     """DuckDB rendering of host + registered-domain from the SAME
-    ``_SUFFIX2`` table — one scalar SQL expression."""
+    ``SUFFIX2``/``SUFFIX3`` snapshot tables — one scalar SQL
+    expression."""
     host = (f"lower(nullif(regexp_extract({col_sql},"
             f" '^[^/?#]*//(?:[^/?#@]*@)?([^/?#:]+)', 1), ''))")
     labels = f"string_split(({host}), '.')"
@@ -83,11 +91,15 @@ def domain_oracle_expr(col_sql: str) -> str:
              f" '.')")
     last3 = (f"array_to_string(list_slice({labels}, ({n}) - 2, ({n})),"
              f" '.')")
-    suf = ", ".join(f"'{s}'" for s in _SUFFIX2)
+    last4 = (f"array_to_string(list_slice({labels}, ({n}) - 3, ({n})),"
+             f" '.')")
+    suf2 = ", ".join(f"'{s}'" for s in SUFFIX2)
+    suf3 = ", ".join(f"'{s}'" for s in SUFFIX3)
     return (f"CASE WHEN ({host}) IS NULL OR ({n}) <= 2"
             f" OR regexp_matches(({host}),"
             f" '^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$') THEN ({host})"
-            f" WHEN ({last2}) IN ({suf}) THEN ({last3})"
+            f" WHEN ({n}) > 3 AND ({last3}) IN ({suf3}) THEN ({last4})"
+            f" WHEN ({last2}) IN ({suf2}) THEN ({last3})"
             f" ELSE ({last2}) END")
 
 

@@ -1089,6 +1089,17 @@ def test_registered_domain_duck_parity(spark, duck):
         "HTTPS://UPPER.Example.ORG/Case",       # case in host only
         "not a url",
         None,
+        # r07 pinned-PSL snapshot coverage (VERDICT r06 #3)
+        "https://example.gov.au/page",          # gov.au 2-level suffix
+        "https://agency.example.gov.au/page",   # same publisher
+        "https://foo.com.sg/x",                 # bare registrable
+        "https://school.act.edu.au/enrol",      # 3-LEVEL suffix (au states)
+        "https://www.school.act.edu.au/enrol",  # same publisher
+        "https://district.k12.ca.us/board",     # 3-level k12 scheme
+        "https://www.district.k12.ca.us/board",  # same publisher
+        "https://k12.ca.us/",                   # host IS the suffix
+        "https://ville.gouv.fr/",               # gouv.fr
+        "https://shop.example.co.kr/item",      # co.kr
     ]
     pdf = pd.DataFrame({"doc_id": range(len(raw)), "url": raw})
     d = spark.createDataFrame(pdf)
@@ -1110,6 +1121,13 @@ def test_registered_domain_duck_parity(spark, duck):
     assert dom[8] == "example.com.au"
     assert dom[9] == "example.org"
     assert dom[10] is None and dom[11] is None
+    assert dom[12] == dom[13] == "example.gov.au"
+    assert dom[14] == "foo.com.sg"
+    assert dom[15] == dom[16] == "school.act.edu.au"
+    assert dom[17] == dom[18] == "district.k12.ca.us"
+    assert dom[19] == "k12.ca.us"  # the suffix itself passes through
+    assert dom[20] == "ville.gouv.fr"
+    assert dom[21] == "example.co.kr"
 
 
 def test_cap_per_domain_and_stats(spark):
