@@ -7,7 +7,9 @@
         --benchmark /path/to/eval_docs.parquet --max-ppl 10000 --seq-len 2048
 
 Pipeline (one lazy plan + one packing pass): optional per-domain cap
-(url column) -> optional cross-corpus line dedup -> exact dedup -> quality gate
+(url column) -> optional cross-corpus line/sentence-span dedup
+(--dedup-lines MIN_CHARS | --dedup-spans N_SENTENCES) -> exact dedup
+-> quality gate
 -> optional decontamination / repetition caps / LM-perplexity cap /
 PII-density cap -> stratified sampling -> optional chunking (overlapping
 token windows) -> sequence packing.  Chunking bounds the packing unit
@@ -75,6 +77,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
                     help="C4-style cross-corpus line dedup before"
                          " scoring: every line >= MIN_CHARS survives"
                          " only at its globally-first occurrence")
+    ap.add_argument("--dedup-spans", type=int, default=None,
+                    metavar="N_SENTENCES",
+                    help="C4-faithful cross-corpus span dedup: the unit"
+                         " is a non-overlapping window of N_SENTENCES"
+                         " sentences (C4 uses 3); mutually exclusive"
+                         " with --dedup-lines; span-boundary whitespace"
+                         " is normalized on rebuild")
     return ap
 
 
@@ -106,14 +115,20 @@ def run(spark, args: argparse.Namespace) -> dict:
                 .persist(StorageLevel.MEMORY_AND_DISK))
         persisted.append(docs)
         n_after_domain = docs.count()
-    if args.dedup_lines is not None:
+    if args.dedup_lines is not None and args.dedup_spans is not None:
+        raise SystemExit("--dedup-lines and --dedup-spans are mutually"
+                         " exclusive (one unit granularity per pass)")
+    if args.dedup_lines is not None or args.dedup_spans is not None:
         from geonames_rdf_spark.operators import lines as L
 
         # persisted: the counter aggregate used to re-run the whole
-        # line-dedup (the job's most expensive shuffle) a second time
+        # unit-dedup (the job's most expensive shuffle) a second time
         # for the join
-        dl = L.dedup_lines(docs, min_chars=args.dedup_lines) \
-            .persist(StorageLevel.MEMORY_AND_DISK)
+        if args.dedup_lines is not None:
+            dl = L.dedup_lines(docs, min_chars=args.dedup_lines)
+        else:
+            dl = L.dedup_spans(docs, n_sentences=args.dedup_spans)
+        dl = dl.persist(StorageLevel.MEMORY_AND_DISK)
         persisted.append(dl)
         n_lines_removed = int(
             dl.agg(F.sum("n_lines_removed")).collect()[0][0] or 0)
