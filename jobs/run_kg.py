@@ -139,8 +139,19 @@ def main() -> None:
                              n_buckets=args.buckets,
                              concurrency=args.concurrency)
 
-    kg = build.build_kg(spark, args.sf_dir, tables=tables)
-    mention_triples = lineage.read_triples(spark, args.out)
+    # metric counts ride the sink write as observe() aggregates (the
+    # same one-pass discipline as the lineage buckets and run_curate):
+    # kg.count() used to re-run the whole gazetteer melt a second time
+    # after the write already consumed it
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs_kg = Observation("kg_feature_triples")
+    obs_m = Observation("kg_mention_triples")
+    kg = build.build_kg(spark, args.sf_dir, tables=tables) \
+        .observe(obs_kg, F.count(F.lit(1)).alias("n"))
+    mention_triples = lineage.read_triples(spark, args.out) \
+        .observe(obs_m, F.count(F.lit(1)).alias("n"))
     all_triples = kg.unionByName(mention_triples)
     if args.format == "turtle":
         from geonames_rdf_spark.pipeline import turtle
@@ -150,8 +161,8 @@ def main() -> None:
         materialize.write_ntriples(all_triples, f"{args.out}/ntriples")
 
     print(json.dumps({
-        "feature_triples": kg.count(),
-        "mention_triples": mention_triples.count(),
+        "feature_triples": int(obs_kg.get["n"]),
+        "mention_triples": int(obs_m.get["n"]),
         "buckets": args.buckets,
         "matcher_prep_s": matcher_prep_s,
         "matcher_path": "bundle" if bundle_file else "collect+broadcast",
