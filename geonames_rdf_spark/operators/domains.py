@@ -171,8 +171,9 @@ def cap_per_domain(pages: DataFrame, max_docs: int,
     group guard and the kNN oversize router):
 
     * under-cap domains — virtually all rows at web scale — are
-      flagged kept straight off the broadcast anti-join, no ranking
-      exchange at all;
+      flagged kept straight off the over-cap-set anti-join (broadcast
+      when the set fits the routing bound), no ranking exchange at
+      all;
     * over-cap domains up to ``window_max_rows`` take ONE rank-only
       window (streamed, spillable sort — measured 4x cheaper than the
       threshold machinery at sandbox scale, scripts/domain_cap_ab.py);
@@ -181,8 +182,9 @@ def cap_per_domain(pages: DataFrame, max_docs: int,
       path: each ``(domain, salt)`` slice ranks its own
       top-``max_docs`` in parallel, the ≤ ``salt × max_docs``
       survivors yield the domain's exact ``max_docs``-th smallest
-      ``(order, url)`` key, and keeping is a broadcast threshold
-      comparison.  Identical output on every route (salt-invariance
+      ``(order, url)`` key, and keeping is a per-domain threshold
+      comparison (broadcast-routed like the set joins).  Identical
+      output on every route (salt-invariance
       and route-equivalence pytest-pinned); AQE's empty-relation
       propagation skips the monster branch's scans entirely when no
       domain crosses the bound.
