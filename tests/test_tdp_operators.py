@@ -1130,6 +1130,67 @@ def test_registered_domain_duck_parity(spark, duck):
     assert dom[21] == "example.co.kr"
 
 
+def test_registered_domain_three_way_parity_generated(spark, duck):
+    """Third-implementation parity sweep over the WHOLE pinned PSL
+    snapshot shape: a pure-Python rendering of the suffix rule vs the
+    Spark Column expression vs the DuckDB scalar, on hosts generated
+    from the snapshot itself (every k-th suffix x {bare, one sub, two
+    subs, uppercase, port, userinfo}) plus structural adversaries.
+    One Spark job + one DuckDB query — not per-example."""
+    import re as _re
+
+    import pandas as pd
+
+    from geonames_rdf_spark.operators import domains
+    from geonames_rdf_spark.operators.psl_snapshot import SUFFIX2, SUFFIX3
+
+    def py_ref(url):
+        if url is None:
+            return None
+        m = _re.match(r"^[^/?#]*//(?:[^/?#@]*@)?([^/?#:]+)", url)
+        host = m.group(1).lower() if m and m.group(1) else None
+        if not host:
+            return None
+        labels = host.split(".")
+        n = len(labels)
+        if n <= 2 or _re.fullmatch(r"\d+\.\d+\.\d+\.\d+", host):
+            return host
+        if n > 3 and ".".join(labels[-3:]) in SUFFIX3:
+            return ".".join(labels[-4:])
+        if ".".join(labels[-2:]) in SUFFIX2:
+            return ".".join(labels[-3:])
+        return ".".join(labels[-2:])
+
+    urls: list[str | None] = []
+    for suf in list(SUFFIX2)[::37] + list(SUFFIX3)[::11]:
+        urls += [f"https://{suf}/p",            # host IS the suffix
+                 f"https://site.{suf}/p",        # bare registrable
+                 f"https://a.b.site.{suf}/p",    # deep subdomain
+                 f"https://UP.Site.{suf.upper()}/p",   # case
+                 f"http://u:p@x.{suf}:8080/p?q=1"]     # userinfo+port
+    urls += ["https://plain.org/", "https://a.b.c.d.plain.org/",
+             "http://localhost/", "http://10.0.0.1/x",
+             "https://xn--idn.example/", "ftp://f.co.uk/",
+             "https://trailingdot.org./",  # trailing dot: 3 labels, last ''
+             "not a url", "", None]
+
+    pdf = pd.DataFrame({"i": range(len(urls)), "url": urls})
+    got_spark = {
+        r["i"]: r["d"] for r in spark.createDataFrame(pdf).select(
+            "i", domains.registered_domain_expr(F.col("url")).alias("d"))
+        .collect()}
+    duck.register("dom_sweep", pdf)
+    got_duck = {int(r["i"]): r["d"] for _, r in duck.execute(
+        "SELECT i, " + domains.domain_oracle_expr("url")
+        + " AS d FROM dom_sweep").df().iterrows()}
+    for i, u in enumerate(urls):
+        want = py_ref(u)
+        assert got_spark[i] == want, (u, got_spark[i], want)
+        d = got_duck[i]
+        d = None if (d is None or d != d) else d  # pandas NaN -> None
+        assert d == want, (u, d, want)
+
+
 def test_cap_per_domain_and_stats(spark):
     from geonames_rdf_spark.operators import domains
 
