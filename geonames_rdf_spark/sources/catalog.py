@@ -16,7 +16,15 @@ immutable version directory and the commit is ONE atomic pointer swap
   its version even while a writer commits the next one;
 - time travel — `read_table_versioned(..., snapshot=N)`;
 - snapshot expiry — `expire_snapshots` retires old version dirs, the
-  Iceberg maintenance operation.
+  Iceberg maintenance operation (append-chain-aware: never deletes an
+  ancestor a surviving snapshot references);
+- append snapshots (r07) — `write_table_versioned(..., append=True)`
+  commits only the new rows with a `_parents.json` manifest, so a
+  continuous ingest commits each epoch without rewriting the corpus;
+- optimistic concurrency (r07) — `write_table_versioned(..., base=N)`
+  commits as exactly `v=N+1`; the atomic mkdir admits at most ONE
+  winner per base, the loser gets `CommitConflict` and retries on the
+  new current — Iceberg's validate-and-retry commit protocol.
 
 Single-filesystem semantics: concurrent writers are serialized by the
 atomic `mkdir` of the version directory (loser retries with the next
@@ -95,10 +103,19 @@ def table_snapshots(path: str) -> list[int]:
     return sorted(out)
 
 
+class CommitConflict(RuntimeError):
+    """Optimistic-concurrency failure: another writer committed a
+    snapshot on the same base version first.  Retry by re-reading the
+    new current snapshot and re-deriving the write — the Iceberg commit
+    protocol's conflict signal."""
+
+
 def write_table_versioned(
     df: DataFrame,
     path: str,
     partition_cols: tuple[str, ...] = (),
+    base: int | None = None,
+    append: bool = False,
 ) -> int:
     """Snapshot commit: write an immutable ``v=N`` directory, then swap
     the ``_CURRENT`` pointer atomically.  Returns the committed version.
@@ -106,23 +123,81 @@ def write_table_versioned(
     A reader that already resolved the pointer is unaffected by the
     commit (its version dir is immutable until expiry) — the snapshot
     isolation Iceberg gives, emulated with rename atomicity.
+
+    ``base`` (optimistic concurrency): commit only as version
+    ``base + 1``.  The atomic ``mkdir`` of the version directory means
+    AT MOST ONE writer per base can claim it — the loser gets
+    :class:`CommitConflict` and must re-read the new current snapshot
+    and retry, exactly Iceberg's validate-and-retry commit protocol.
+    Without ``base`` the writer takes the next free version
+    (last-writer-wins under the monotonic pointer, as before).
+
+    ``append=True`` (fast append): the new snapshot's data is ONLY the
+    rows written now; the snapshot additionally records its parent
+    chain in a ``_parents.json`` manifest (underscore-prefixed — Spark
+    scans ignore it) and readers resolve the closure, so a continuous
+    ingest commits each epoch WITHOUT rewriting the corpus — Iceberg's
+    append snapshot.  Appends require ``partition_cols=()`` (multiple
+    scan roots don't share partition discovery) and a non-empty parent
+    to append to (else it is just a full write).  ``expire_snapshots``
+    keeps every version referenced by a surviving snapshot's chain
+    alive: storage is bounded by the cadence of full (non-append)
+    rewrites, which break the chain.
     """
     os.makedirs(path, exist_ok=True)
-    v = (current_snapshot(path) or max(table_snapshots(path), default=0))
-    while True:
-        v += 1
+    if append and partition_cols:
+        raise ValueError("append snapshots do not support partition_cols"
+                         " (multiple scan roots don't share partition"
+                         " discovery); write a full snapshot instead")
+    if base is not None:
+        v = base + 1
         vdir = os.path.join(path, f"v={v}")
         try:
-            os.mkdir(vdir)  # atomic claim: concurrent writers serialize here
-            break
+            os.mkdir(vdir)  # at most ONE claimant per base
         except FileExistsError:
-            continue
+            raise CommitConflict(
+                f"snapshot v={v} already claimed: another writer"
+                f" committed on base {base} first — re-read the current"
+                " snapshot and retry") from None
+    else:
+        v = (current_snapshot(path) or max(table_snapshots(path),
+                                           default=0))
+        while True:
+            v += 1
+            vdir = os.path.join(path, f"v={v}")
+            try:
+                os.mkdir(vdir)  # atomic claim: writers serialize here
+                break
+            except FileExistsError:
+                continue
+    parents: list[int] = []
+    if append:
+        # append onto the COMMITTED base (an unconditional append uses
+        # the current pointer — never a claimed-but-uncommitted dir)
+        parent = base if base is not None else (current_snapshot(path) or 0)
+        if parent >= 1 and os.path.isdir(os.path.join(path, f"v={parent}")):
+            parents = [parent] + _parents_of(path, parent)
     w = df.write.mode("overwrite")
     if partition_cols:
         w = w.partitionBy(*partition_cols)
     w.parquet(vdir)
+    if parents:
+        tmp = os.path.join(vdir, "_parents.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"parents": parents}, f)
+        os.replace(tmp, os.path.join(vdir, "_parents.json"))
     _commit_pointer(path, v)
     return v
+
+
+def _parents_of(path: str, v: int) -> list[int]:
+    """Ancestor versions whose data dirs compose snapshot ``v`` (own dir
+    excluded) — empty for full-rewrite snapshots."""
+    try:
+        with open(os.path.join(path, f"v={v}", "_parents.json")) as f:
+            return list(json.load(f)["parents"])
+    except (FileNotFoundError, NotADirectoryError):
+        return []
 
 
 def _commit_pointer(path: str, v: int) -> None:
@@ -148,23 +223,33 @@ def _commit_pointer(path: str, v: int) -> None:
 
 def read_table_versioned(spark: SparkSession, path: str,
                          snapshot: int | None = None) -> DataFrame:
-    """Current snapshot by default; pass ``snapshot=N`` for time travel."""
+    """Current snapshot by default; pass ``snapshot=N`` for time travel.
+    Append snapshots resolve their parent chain — the scan reads the
+    snapshot's own dir plus every ancestor data dir in the manifest."""
     v = snapshot if snapshot is not None else current_snapshot(path)
     if v is None:
         raise FileNotFoundError(f"no committed snapshot under {path}")
-    return spark.read.parquet(os.path.join(path, f"v={v}"))
+    dirs = [os.path.join(path, f"v={u}") for u in [v] + _parents_of(path, v)]
+    return spark.read.parquet(*dirs)
 
 
 def expire_snapshots(path: str, keep: int = 2) -> list[int]:
     """Retire all but the newest ``keep`` snapshots (never the current
-    one).  Returns the expired version numbers — the Iceberg maintenance
-    operation that bounds storage under continuous commits."""
+    one, never a version REFERENCED by a surviving snapshot's append
+    chain — deleting a referenced ancestor would corrupt a live
+    snapshot).  Returns the expired version numbers — the Iceberg
+    maintenance operation that bounds storage under continuous commits;
+    with append chains, storage is additionally bounded by the cadence
+    of full rewrites (which break the chain)."""
     cur = current_snapshot(path)
     versions = table_snapshots(path)
     survivors = set(versions[-keep:]) | ({cur} if cur is not None else set())
+    referenced: set[int] = set()
+    for v in survivors:
+        referenced.update(_parents_of(path, v))
     expired = []
     for v in versions:
-        if v not in survivors:
+        if v not in survivors and v not in referenced:
             shutil.rmtree(os.path.join(path, f"v={v}"), ignore_errors=True)
             expired.append(v)
     return expired

@@ -158,6 +158,61 @@ def test_versioned_catalog_snapshot_commit(spark, tmp_path):
     assert catalog.read_table_versioned(spark, path).count() == 10
 
 
+def test_versioned_catalog_append_chain_and_occ(spark, tmp_path):
+    """Iceberg append snapshots + optimistic-concurrency commits on the
+    parquet emulation: an append commits ONLY its new rows but reads as
+    the full chain; a second writer committing on the same base gets
+    CommitConflict (at most one winner per base); expiry never deletes
+    an ancestor a surviving append chain references."""
+    import os
+
+    import pytest as _pytest
+
+    from geonames_rdf_spark.sources import catalog
+
+    path = str(tmp_path / "vtab_app")
+    v1 = catalog.write_table_versioned(
+        spark.range(10).withColumn("x", F.lit("full")), path)
+    v2 = catalog.write_table_versioned(
+        spark.range(10, 15).withColumn("x", F.lit("ep1")), path,
+        append=True)
+    v3 = catalog.write_table_versioned(
+        spark.range(15, 18).withColumn("x", F.lit("ep2")), path,
+        append=True, base=v2)
+    assert (v1, v2, v3) == (1, 2, 3)
+    # full chain reads; each append dir holds ONLY its epoch's rows
+    assert catalog.read_table_versioned(spark, path).count() == 18
+    assert spark.read.parquet(os.path.join(path, "v=3")).count() == 3
+    # time travel at an intermediate append snapshot
+    assert catalog.read_table_versioned(spark, path, snapshot=2).count() == 15
+
+    # OCC: a second commit on base v3 conflicts after the first wins
+    catalog.write_table_versioned(
+        spark.range(100, 101).withColumn("x", F.lit("w1")), path,
+        append=True, base=v3)
+    with _pytest.raises(catalog.CommitConflict):
+        catalog.write_table_versioned(
+            spark.range(200, 201).withColumn("x", F.lit("w2")), path,
+            append=True, base=v3)
+    assert catalog.read_table_versioned(spark, path).count() == 19
+
+    # expiry: keep=1 would retire v1-v3 blindly, but v4's chain
+    # references them — all stay; a full rewrite breaks the chain
+    assert catalog.expire_snapshots(path, keep=1) == []
+    assert catalog.table_snapshots(path) == [1, 2, 3, 4]
+    catalog.write_table_versioned(
+        spark.range(3).withColumn("x", F.lit("rewrite")), path)
+    assert catalog.expire_snapshots(path, keep=1) == [1, 2, 3, 4]
+    assert catalog.read_table_versioned(spark, path).count() == 3
+
+    # appends never take partition columns (multi-root scans don't
+    # share partition discovery)
+    with _pytest.raises(ValueError, match="append"):
+        catalog.write_table_versioned(
+            spark.range(3).withColumn("x", F.lit("p")), path,
+            partition_cols=("x",), append=True)
+
+
 def test_warc_roundtrip_and_pipeline_ingest(spark, tmp_path):
     """Common-Crawl-shaped ingestion: pages written as .warc.gz archives
     read back byte-identical (url, ts, html), and the fused KG pipeline
