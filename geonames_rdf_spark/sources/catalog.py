@@ -116,6 +116,7 @@ def write_table_versioned(
     partition_cols: tuple[str, ...] = (),
     base: int | None = None,
     append: bool = False,
+    epoch: int | None = None,
 ) -> int:
     """Snapshot commit: write an immutable ``v=N`` directory, then swap
     the ``_CURRENT`` pointer atomically.  Returns the committed version.
@@ -143,6 +144,13 @@ def write_table_versioned(
     keeps every version referenced by a surviving snapshot's chain
     alive: storage is bounded by the cadence of full (non-append)
     rewrites, which break the chain.
+
+    ``epoch`` stamps the snapshot's manifest with a writer-defined
+    monotonic id — the streaming sink records its micro-batch epoch
+    here so a REPLAYED batch (foreachBatch re-delivery after crash
+    recovery) can detect the epoch already committed and skip
+    (``last_committed_epoch``) — Iceberg's exactly-once streaming
+    commit, emulated.
     """
     os.makedirs(path, exist_ok=True)
     if append and partition_cols:
@@ -181,23 +189,47 @@ def write_table_versioned(
     if partition_cols:
         w = w.partitionBy(*partition_cols)
     w.parquet(vdir)
-    if parents:
+    if parents or epoch is not None:
+        manifest: dict = {"parents": parents}
+        if epoch is not None:
+            manifest["epoch"] = int(epoch)
         tmp = os.path.join(vdir, "_parents.json.tmp")
         with open(tmp, "w") as f:
-            json.dump({"parents": parents}, f)
+            json.dump(manifest, f)
         os.replace(tmp, os.path.join(vdir, "_parents.json"))
     _commit_pointer(path, v)
     return v
 
 
+def _manifest_of(path: str, v: int) -> dict:
+    try:
+        with open(os.path.join(path, f"v={v}", "_parents.json")) as f:
+            return json.load(f)
+    except (FileNotFoundError, NotADirectoryError):
+        return {}
+
+
 def _parents_of(path: str, v: int) -> list[int]:
     """Ancestor versions whose data dirs compose snapshot ``v`` (own dir
     excluded) — empty for full-rewrite snapshots."""
-    try:
-        with open(os.path.join(path, f"v={v}", "_parents.json")) as f:
-            return list(json.load(f)["parents"])
-    except (FileNotFoundError, NotADirectoryError):
-        return []
+    return list(_manifest_of(path, v).get("parents", []))
+
+
+def last_committed_epoch(path: str) -> int:
+    """Largest writer ``epoch`` stamped on the CURRENT snapshot's chain
+    (-1 when none) — the replay guard for exactly-once streaming
+    commits.  Epochs survive across appends because the chain carries
+    every ancestor's manifest; a full rewrite breaks the chain and
+    resets the guard, so compaction must run with the stream stopped
+    and its checkpoint intact (Spark then never re-delivers committed
+    epochs anyway — this guard covers the foreachBatch replay window
+    after a crash, where the LAST epoch may be re-delivered)."""
+    cur = current_snapshot(path)
+    if cur is None:
+        return -1
+    epochs = [_manifest_of(path, u).get("epoch", -1)
+              for u in [cur] + _parents_of(path, cur)]
+    return max([int(e) for e in epochs] + [-1])
 
 
 def _commit_pointer(path: str, v: int) -> None:

@@ -316,6 +316,51 @@ def run_stream_kg_warc(
     return _start_kg_sink(linked, out_dir, n_buckets)
 
 
+def run_stream_kg_catalog(
+    spark: SparkSession,
+    warc_dir: str,
+    scored_map: dict[str, list[tuple[int, float, str]]],
+    table_path: str,
+    max_files_per_trigger: int | None = None,
+):
+    """Live-crawl KG maintenance committing each micro-batch as a
+    versioned-catalog APPEND snapshot (``sources.catalog``) instead of
+    an epoch-partitioned directory: every batch's triples land as one
+    immutable snapshot stamped with the micro-batch epoch, readers get
+    snapshot isolation + time travel over the GROWING triple store, and
+    a batch REPLAYED after crash recovery is detected by its epoch
+    stamp (``last_committed_epoch``) and skipped — exactly-once at the
+    catalog-commit level, the Iceberg streaming-sink protocol.
+
+    Single-writer by construction (one streaming query per table);
+    compaction = a full (non-append) rewrite with the stream stopped
+    and its checkpoint intact (see ``last_committed_epoch``).  Replay
+    idempotence and stream==batch equality are pytest-pinned."""
+    from geonames_rdf_spark.pipeline import materialize
+    from geonames_rdf_spark.pipeline import mentions as m
+    from geonames_rdf_spark.sources import catalog
+    from geonames_rdf_spark.sources.warc import read_warc_stream
+
+    pages = read_warc_stream(
+        spark, warc_dir,
+        max_files_per_trigger=max_files_per_trigger,
+    ).withColumn("lang", F.lit(None).cast("string"))
+    linked = m.detect_and_link(pages, scored_map, from_html=True)
+
+    def write_batch(df: DataFrame, epoch_id: int) -> None:
+        if catalog.last_committed_epoch(table_path) >= int(epoch_id):
+            return  # replayed batch: its snapshot already committed
+        catalog.write_table_versioned(
+            materialize.mention_triples(df), table_path,
+            append=True, epoch=int(epoch_id))
+
+    return (
+        linked.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", f"{table_path}/_checkpoint")
+        .start()
+    )
+
+
 def read_stream_kg(spark: SparkSession, out_dir: str) -> DataFrame:
     """Read the streamed triple store, collapsing cross-epoch duplicates
     (the compaction a serving layer runs).

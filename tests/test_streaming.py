@@ -309,6 +309,66 @@ def test_stream_kg_kill_restart_resume(spark, tmp_path):
     assert batch.exceptAll(streamed).count() == 0
 
 
+def test_stream_kg_catalog_append_exactly_once(spark, tmp_path):
+    """Micro-batches commit as versioned-catalog APPEND snapshots: the
+    streamed table equals the batch path, every batch left one
+    epoch-stamped snapshot, and re-delivering the batches (fresh
+    checkpoint => Spark replays every file) commits NOTHING — the
+    epoch guard makes the catalog sink exactly-once."""
+    import shutil as _shutil
+
+    from pyspark.sql import functions as F
+
+    from geonames_rdf_spark.operators import build
+    from geonames_rdf_spark.pipeline import corpus, materialize, mentions
+    from geonames_rdf_spark.sources import catalog, warc
+
+    tables = build.gazetteer_tables(spark, SF)
+    feats = tables["features"]
+    surfaces = corpus.gazetteer_surfaces(feats)
+    pages = corpus.synthesize_pages(spark, surfaces, 120)
+    drop = str(tmp_path / "crawl_drop_cat")
+    warc.write_warc(pages.repartition(3, "url"), drop)
+    smap_scored = mentions.build_scored_surface_map(feats)
+    table = str(tmp_path / "kg_table")
+
+    q = ev.run_stream_kg_catalog(spark, drop, smap_scored, table,
+                                 max_files_per_trigger=1)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    streamed = catalog.read_table_versioned(spark, table)
+    batch_pages = (warc.read_warc(spark, drop + "/*.warc.gz")
+                   .withColumn("lang", F.lit(None).cast("string")))
+    batch = materialize.mention_triples(
+        mentions.detect_and_link(batch_pages, smap_scored, from_html=True))
+    assert streamed.count() == batch.count() > 0
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
+
+    # 3 archives, 1 file/trigger => 3 epoch-stamped append snapshots
+    snaps = catalog.table_snapshots(table)
+    assert len(snaps) == 3
+    assert catalog.last_committed_epoch(table) == 2
+    # time travel: the first snapshot holds only its own batch
+    assert 0 < catalog.read_table_versioned(
+        spark, table, snapshot=snaps[0]).count() < streamed.count()
+
+    # replay: wipe the checkpoint so the re-run re-delivers EVERY file;
+    # the epoch guard must skip all of them — no new snapshots, same rows
+    _shutil.rmtree(f"{table}/_checkpoint")
+    q2 = ev.run_stream_kg_catalog(spark, drop, smap_scored, table,
+                                  max_files_per_trigger=1)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert catalog.table_snapshots(table) == snaps
+    assert catalog.read_table_versioned(spark, table).count() == batch.count()
+
+
 def test_stream_kg_from_warc_drop_dir(spark, tmp_path):
     """Live-crawl shape end to end: .warc.gz members in a drop
     directory -> streaming WARC parse -> fused linking (NULL lang, no
