@@ -151,11 +151,13 @@ def main() -> None:
     # STEADY STATE (VERDICT r04 #5): the sf0.1 suite numbers are ~60%
     # fixed plan-construction cost; at 100x scale execution dominates.
     # One x16 build + one 16x-page pipeline run per pass puts a
-    # rows/sec number where the round deltas can track it.  min-of-2:
-    # these queries are long enough that a host-load burst rarely
-    # covers both passes.
+    # rows/sec number where the round deltas can track it.  min-of-3
+    # (r07: a measured same-day burst covered BOTH passes of a min-of-2
+    # run — 25.5 s for a build an isolated warm probe ran in 7.4 s —
+    # so the designated round tracker gets a third chance to land in a
+    # quiet window).
     steady: dict = {}
-    steady_reps = int(os.environ.get("BENCH_STEADY_REPS", "2"))
+    steady_reps = int(os.environ.get("BENCH_STEADY_REPS", "3"))
     if steady_reps > 0:
         srep, spages = 16, N_PAGES * 16
         kg_s, web_s, kg_rows, web_rows = None, None, 0, 0
