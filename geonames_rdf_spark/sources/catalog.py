@@ -183,7 +183,14 @@ def write_table_versioned(
         # append onto the COMMITTED base (an unconditional append uses
         # the current pointer — never a claimed-but-uncommitted dir)
         parent = base if base is not None else (current_snapshot(path) or 0)
-        if parent >= 1 and os.path.isdir(os.path.join(path, f"v={parent}")):
+        if parent >= 1:
+            if not os.path.isdir(os.path.join(path, f"v={parent}")):
+                # silently degrading to a full write would commit a
+                # snapshot missing the table's history
+                os.rmdir(vdir)  # release the claim
+                raise ValueError(
+                    f"append: base snapshot v={parent} does not exist"
+                    f" under {path}")
             parents = [parent] + _parents_of(path, parent)
     w = df.write.mode("overwrite")
     if partition_cols:
