@@ -212,6 +212,16 @@ def test_versioned_catalog_append_chain_and_occ(spark, tmp_path):
             spark.range(3).withColumn("x", F.lit("p")), path,
             partition_cols=("x",), append=True)
 
+    # an append onto a missing base must raise (a silent full write
+    # would commit a snapshot missing the table's history) and release
+    # its claimed version dir
+    before = catalog.table_snapshots(path)
+    with _pytest.raises(ValueError, match="does not exist"):
+        catalog.write_table_versioned(
+            spark.range(3).withColumn("x", F.lit("q")), path,
+            append=True, base=99)
+    assert catalog.table_snapshots(path) == before
+
 
 def test_warc_roundtrip_and_pipeline_ingest(spark, tmp_path):
     """Common-Crawl-shaped ingestion: pages written as .warc.gz archives
