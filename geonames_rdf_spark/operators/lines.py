@@ -137,9 +137,12 @@ def dedup_spans(docs: DataFrame, text_col: str = "text",
     boundaries while text inside a span is untouched.  Same output
     contract and same scale shape as ``dedup_lines``.
     """
+    # explicit whitespace class, NOT \s: Java regex \s includes \x0B
+    # (vertical tab) while DuckDB's RE2 \s excludes it — the shared
+    # class keeps the two renderings split-identical (ADVICE r07)
     sents = F.split(
         F.regexp_replace(F.coalesce(F.col(text_col), F.lit("")),
-                         r"([.!?])\s+", "$1" + _SENT),
+                         r"([.!?])[ \t\n\r\f]+", "$1" + _SENT),
         _SENT)
     n = F.size(sents)
     starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)),
@@ -216,7 +219,8 @@ def dedup_spans_sql(docs_sql: str, n_sentences: int = 3,
     ``floor(sentence_idx / n)`` instead of an explicit start sequence —
     an independent formulation of the same windows."""
     sents = (f"string_split(regexp_replace(COALESCE(d.{text_col}, ''),"
-             f" '([.!?])\\s+', '\\1' || chr(1), 'g'), chr(1))")
+             f" '([.!?])[ \\t\\n\\r\\f]+', '\\1' || chr(1), 'g'),"
+             f" chr(1))")
     lines_cte = f"""
   SELECT doc_id, pos, string_agg(sent, ' ' ORDER BY sidx) AS line
   FROM (

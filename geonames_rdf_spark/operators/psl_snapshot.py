@@ -12,8 +12,15 @@ drift.
 
 Coverage contract / misattribution bound:
 
-* Every entry here IS a real registry suffix; false positives do not
-  occur (a plain `foo.org` is never shortened).
+* Entries aim at the REGISTRY (ICANN-section) suffixes.  A small
+  false-positive residue is acknowledged (ADVICE r07): ccTLD schemes
+  drift between registry and private operation over time (the retired
+  `com.ru` family was pruned in r08 for exactly this), and a stale
+  entry splits one registrable domain into several publishers — the
+  non-conservative direction for the per-domain cap.  The snapshot is
+  therefore kept to schemes documented as registry-operated; refreshing
+  against a pinned PSL ICANN-section checkout tightens the residue to
+  zero without touching the rendering machinery.
 * Suffixes absent from the snapshot (newer or exotic ccTLD schemes,
   IDN suffixes, and the PSL's entire PRIVATE section — `blogspot.com`,
   `github.io`, ...) degrade CONSERVATIVELY: hosts under a missing
@@ -24,9 +31,13 @@ Coverage contract / misattribution bound:
   PSL's private section is arguably the RIGHT call to exclude for
   corpus capping anyway: capping all of blogspot.com as one publisher
   is what RefinedWeb-style host caps intend.)
-* Wildcard (`*.ck`) and exception (`!www.ck`) rules are not modeled;
-  affected hosts fall back to the two-label default, same conservative
-  direction.
+* Wildcard and exception rules ARE modeled at the TLD level (r08):
+  ``WILDCARD_TLD`` carries the PSL's whole-TLD wildcards (`*.ck` — any
+  second level is a registry suffix, so the registrable domain is the
+  last THREE labels) and ``EXCEPTION2`` the exception names carved
+  back out (`!www.ck` — that exact name IS registrable).  Deeper
+  wildcards (`*.kawasaki.jp`-style city schemes) remain unmodeled and
+  fall back to the two-label default, the conservative direction.
 
 To refresh the snapshot from a real PSL checkout, regenerate these
 tuples from the ICANN section's 2- and 3-label rules — the rendering
@@ -64,8 +75,9 @@ _SECOND_LEVEL: dict[str, tuple[str, ...]] = {
            "tel", "tv", "web"),
     "ua": ("com", "edu", "gov", "in", "net", "org", "kiev", "kyiv",
            "kharkiv", "lviv", "odesa", "odessa", "dnipropetrovsk"),
-    "ru": ("com", "edu", "gov", "int", "mil", "net", "org", "msk",
-           "spb"),
+    # .ru pruned in r08 (ADVICE r07): its com/net/org/msk/spb second
+    # levels are private-section or retired, i.e. false-positive
+    # registry suffixes that would SPLIT one publisher into many
     "by": ("com", "gov", "mil", "of"),
     "rs": ("ac", "co", "edu", "gov", "in", "org"),
     "ba": ("com", "edu", "gov", "mil", "net", "org", "rs", "unbi",
@@ -146,10 +158,10 @@ _SECOND_LEVEL: dict[str, tuple[str, ...]] = {
            "net", "nic", "org", "res"),
     "pk": ("biz", "com", "edu", "fam", "gob", "gok", "gon", "gop",
            "gos", "gov", "net", "org", "web"),
-    "bd": ("ac", "com", "edu", "gov", "mil", "net", "org"),
+    # .bd and .np are whole-TLD wildcards (*.bd / *.np) — see
+    # WILDCARD_TLD below; an explicit list here would be redundant
     "lk": ("ac", "assn", "com", "edu", "gov", "grp", "hotel", "int",
            "ltd", "net", "ngo", "org", "sch", "soc", "web"),
-    "np": ("com", "edu", "gov", "mil", "net", "org"),
     "kz": ("com", "edu", "gov", "mil", "net", "org"),
     "uz": ("co", "com", "net", "org"),
     "au": ("asn", "com", "edu", "gov", "id", "net", "org"),
@@ -215,6 +227,18 @@ _US_STATES: tuple[str, ...] = (
 #: gov.au (act.edu.au-style, from the auDA scheme)
 _AU_STATES: tuple[str, ...] = ("act", "nsw", "nt", "qld", "sa", "tas",
                                "vic", "wa")
+
+#: Whole-TLD wildcard rules from the PSL ICANN section (`*.ck`-style):
+#: EVERY second level under these TLDs is a registry suffix, so the
+#: registrable domain is the last THREE labels.  (.bd/.np moved here
+#: from explicit lists — the wildcard subsumes them.)
+WILDCARD_TLD: tuple[str, ...] = (
+    "bd", "ck", "er", "fk", "jm", "kh", "mm", "np", "pg",
+)
+
+#: Exception rules carving a name back OUT of a wildcard (`!www.ck`):
+#: the listed name itself is the registrable domain.
+EXCEPTION2: tuple[str, ...] = ("www.ck",)
 
 SUFFIX2: tuple[str, ...] = tuple(sorted(
     f"{label}.{cc}"

@@ -102,111 +102,115 @@ def run(spark, args: argparse.Namespace) -> dict:
     n_input = docs.count()
     n_after_domain = n_lines_removed = None
     persisted = []
-    if args.max_per_domain is not None:
-        from geonames_rdf_spark.operators import domains
+    # unpersist in finally (ADVICE r07): an exception mid-job must
+    # not strand the persisted frames for the session lifetime
+    try:
+        if args.max_per_domain is not None:
+            from geonames_rdf_spark.operators import domains
 
-        if "url" not in docs.columns:
-            raise SystemExit("--max-per-domain requires a url column")
-        # persisted: the capped corpus feeds line-dedup (several
-        # subtrees), the LM trainer and the curation plan — one compute
-        docs = (domains.cap_per_domain(docs, args.max_per_domain,
-                                       url_col="url", order_col="doc_id")
-                .filter("domain_kept").drop("domain", "domain_kept")
-                .persist(StorageLevel.MEMORY_AND_DISK))
-        persisted.append(docs)
-        n_after_domain = docs.count()
-    if args.dedup_lines is not None and args.dedup_spans is not None:
-        raise SystemExit("--dedup-lines and --dedup-spans are mutually"
-                         " exclusive (one unit granularity per pass)")
-    if args.dedup_lines is not None or args.dedup_spans is not None:
-        from geonames_rdf_spark.operators import lines as L
+            if "url" not in docs.columns:
+                raise SystemExit("--max-per-domain requires a url column")
+            # persisted: the capped corpus feeds line-dedup (several
+            # subtrees), the LM trainer and the curation plan — one compute
+            docs = (domains.cap_per_domain(docs, args.max_per_domain,
+                                           url_col="url", order_col="doc_id")
+                    .filter("domain_kept").drop("domain", "domain_kept")
+                    .persist(StorageLevel.MEMORY_AND_DISK))
+            persisted.append(docs)
+            n_after_domain = docs.count()
+        if args.dedup_lines is not None and args.dedup_spans is not None:
+            raise SystemExit("--dedup-lines and --dedup-spans are mutually"
+                             " exclusive (one unit granularity per pass)")
+        if args.dedup_lines is not None or args.dedup_spans is not None:
+            from geonames_rdf_spark.operators import lines as L
 
-        # persisted: the counter aggregate used to re-run the whole
-        # unit-dedup (the job's most expensive shuffle) a second time
-        # for the join
-        if args.dedup_lines is not None:
-            dl = L.dedup_lines(docs, min_chars=args.dedup_lines)
+            # persisted: the counter aggregate used to re-run the whole
+            # unit-dedup (the job's most expensive shuffle) a second time
+            # for the join
+            if args.dedup_lines is not None:
+                dl = L.dedup_lines(docs, min_chars=args.dedup_lines)
+            else:
+                dl = L.dedup_spans(docs, n_sentences=args.dedup_spans)
+            dl = dl.persist(StorageLevel.MEMORY_AND_DISK)
+            persisted.append(dl)
+            n_lines_removed = int(
+                dl.agg(F.sum("n_lines_removed")).collect()[0][0] or 0)
+            docs = (docs.drop("text")
+                    .join(dl.select("doc_id", "text"), "doc_id"))
+        bench = spark.read.parquet(args.benchmark) if args.benchmark else None
+        lm = (textstats.train_char_lm(docs, n=args.lm_order)
+              if args.max_ppl is not None else None)
+
+        curated = curate.curate_corpus(
+            docs, min_quality=args.min_quality,
+            decontam_benchmark=bench, decontam_ngram=args.decontam_ngram,
+            max_dup_line_frac=args.max_dup_line_frac,
+            max_top_bigram_share=args.max_top_bigram_share,
+            lm=lm, max_ppl=args.max_ppl, max_pii=args.max_pii)
+        curated.write.mode("overwrite").parquet(f"{args.out}/curated")
+        curated = spark.read.parquet(f"{args.out}/curated")
+        n_curated = curated.count()
+
+        # persisted: the kept set feeds chunking AND the packer, whose
+        # group-size pre-flight would otherwise re-execute the curation
+        # join in the non-chunk path
+        kept_docs = docs.join(curated.select("doc_id"), "doc_id", "left_semi") \
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        persisted.append(kept_docs)
+        n_chunks = None
+        count_col = None
+        if args.chunk_tokens is not None:
+            if args.seq_len < args.chunk_tokens:
+                raise SystemExit(
+                    f"--seq-len ({args.seq_len}) must be >= --chunk-tokens"
+                    f" ({args.chunk_tokens}): both count the same token unit,"
+                    " so a window can never fit a smaller budget")
+            chunks = packing.chunk_documents(
+                kept_docs, max_tokens=args.chunk_tokens,
+                overlap=args.chunk_overlap)
+            chunks.write.mode("overwrite").parquet(f"{args.out}/chunks")
+            chunks = spark.read.parquet(f"{args.out}/chunks")
+            n_chunks = chunks.count()
+            # pack the CHUNKS on their own n_tokens (single-sourced token
+            # unit); unit id = doc_id * 2^20 + chunk_id (chunk_id is bounded
+            # far below 2^20 for any realistic document)
+            pack_in = chunks.select(
+                (F.col("doc_id") * 1_048_576 + F.col("chunk_id"))
+                .alias("doc_id"),
+                "n_tokens")
+            count_col = "n_tokens"
         else:
-            dl = L.dedup_spans(docs, n_sentences=args.dedup_spans)
-        dl = dl.persist(StorageLevel.MEMORY_AND_DISK)
-        persisted.append(dl)
-        n_lines_removed = int(
-            dl.agg(F.sum("n_lines_removed")).collect()[0][0] or 0)
-        docs = (docs.drop("text")
-                .join(dl.select("doc_id", "text"), "doc_id"))
-    bench = spark.read.parquet(args.benchmark) if args.benchmark else None
-    lm = (textstats.train_char_lm(docs, n=args.lm_order)
-          if args.max_ppl is not None else None)
-
-    curated = curate.curate_corpus(
-        docs, min_quality=args.min_quality,
-        decontam_benchmark=bench, decontam_ngram=args.decontam_ngram,
-        max_dup_line_frac=args.max_dup_line_frac,
-        max_top_bigram_share=args.max_top_bigram_share,
-        lm=lm, max_ppl=args.max_ppl, max_pii=args.max_pii)
-    curated.write.mode("overwrite").parquet(f"{args.out}/curated")
-    curated = spark.read.parquet(f"{args.out}/curated")
-    n_curated = curated.count()
-
-    # persisted: the kept set feeds chunking AND the packer, whose
-    # group-size pre-flight would otherwise re-execute the curation
-    # join in the non-chunk path
-    kept_docs = docs.join(curated.select("doc_id"), "doc_id", "left_semi") \
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    persisted.append(kept_docs)
-    n_chunks = None
-    count_col = None
-    if args.chunk_tokens is not None:
-        if args.seq_len < args.chunk_tokens:
-            raise SystemExit(
-                f"--seq-len ({args.seq_len}) must be >= --chunk-tokens"
-                f" ({args.chunk_tokens}): both count the same token unit,"
-                " so a window can never fit a smaller budget")
-        chunks = packing.chunk_documents(
-            kept_docs, max_tokens=args.chunk_tokens,
-            overlap=args.chunk_overlap)
-        chunks.write.mode("overwrite").parquet(f"{args.out}/chunks")
-        chunks = spark.read.parquet(f"{args.out}/chunks")
-        n_chunks = chunks.count()
-        # pack the CHUNKS on their own n_tokens (single-sourced token
-        # unit); unit id = doc_id * 2^20 + chunk_id (chunk_id is bounded
-        # far below 2^20 for any realistic document)
-        pack_in = chunks.select(
-            (F.col("doc_id") * 1_048_576 + F.col("chunk_id"))
-            .alias("doc_id"),
-            "n_tokens")
-        count_col = "n_tokens"
-    else:
-        pack_in = kept_docs
-    packed = packing.pack_sequences(pack_in, seq_len=args.seq_len,
-                                    n_buckets=args.pack_buckets,
-                                    count_col=count_col)
-    packed.write.mode("overwrite").parquet(f"{args.out}/packs")
-    packed = spark.read.parquet(f"{args.out}/packs")
-    stats = packing.pack_stats(packed, seq_len=args.seq_len)
-    agg = stats.agg(
-        F.count(F.lit(1)).alias("n_packs"),
-        F.round(F.avg("fill"), 4).alias("mean_fill"),
-        F.sum(F.col("has_oversized").cast("int")).alias("oversized_packs"),
-    ).collect()[0]
-    metrics = {
-        "input_docs": n_input,
-        "after_domain_cap": n_after_domain,
-        "dedup_lines_removed": n_lines_removed,
-        "curated_docs": n_curated,
-        "n_packs": agg["n_packs"],
-        "mean_fill": (float(agg["mean_fill"])
-                      if agg["mean_fill"] is not None else None),
-        "oversized_packs": agg["oversized_packs"],
-        "seq_len": args.seq_len,
-        "n_chunks": n_chunks,
-    }
-    lineage.write_stage_counters(
-        spark, args.out, "curate",
-        {k: v for k, v in metrics.items()
-         if k != "mean_fill" and v is not None})
-    for df in persisted:
-        df.unpersist()
+            pack_in = kept_docs
+        packed = packing.pack_sequences(pack_in, seq_len=args.seq_len,
+                                        n_buckets=args.pack_buckets,
+                                        count_col=count_col)
+        packed.write.mode("overwrite").parquet(f"{args.out}/packs")
+        packed = spark.read.parquet(f"{args.out}/packs")
+        stats = packing.pack_stats(packed, seq_len=args.seq_len)
+        agg = stats.agg(
+            F.count(F.lit(1)).alias("n_packs"),
+            F.round(F.avg("fill"), 4).alias("mean_fill"),
+            F.sum(F.col("has_oversized").cast("int")).alias("oversized_packs"),
+        ).collect()[0]
+        metrics = {
+            "input_docs": n_input,
+            "after_domain_cap": n_after_domain,
+            "dedup_lines_removed": n_lines_removed,
+            "curated_docs": n_curated,
+            "n_packs": agg["n_packs"],
+            "mean_fill": (float(agg["mean_fill"])
+                          if agg["mean_fill"] is not None else None),
+            "oversized_packs": agg["oversized_packs"],
+            "seq_len": args.seq_len,
+            "n_chunks": n_chunks,
+        }
+        lineage.write_stage_counters(
+            spark, args.out, "curate",
+            {k: v for k, v in metrics.items()
+             if k != "mean_fill" and v is not None})
+    finally:
+        for df in persisted:
+            df.unpersist()
     print(json.dumps(metrics))
     return metrics
 

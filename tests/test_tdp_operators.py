@@ -1100,6 +1100,17 @@ def test_registered_domain_duck_parity(spark, duck):
         "https://k12.ca.us/",                   # host IS the suffix
         "https://ville.gouv.fr/",               # gouv.fr
         "https://shop.example.co.kr/item",      # co.kr
+        # r08: bracketed IPv6 literals pass through WHOLE (r07 #4: the
+        # generic branch used to truncate at the first ':')
+        "http://[2001:db8::1]/x",
+        "http://[2001:db8::2]:8080/y",          # with port
+        "https://u@[::ffff:10.0.0.1]/z",        # userinfo + v4-mapped
+        # r08: PSL wildcard (*.ck) + exception (!www.ck) rules
+        "https://shop.foo.ck/item",             # *.ck => last 3 labels
+        "https://deep.shop.foo.ck/item",        # same publisher
+        "https://www.ck/home",                  # !www.ck => registrable
+        "https://a.www.ck/home",                # exception beats wildcard
+        "https://site.org.bd/x",                # *.bd (moved to wildcard)
     ]
     pdf = pd.DataFrame({"doc_id": range(len(raw)), "url": raw})
     d = spark.createDataFrame(pdf)
@@ -1128,6 +1139,12 @@ def test_registered_domain_duck_parity(spark, duck):
     assert dom[19] == "k12.ca.us"  # the suffix itself passes through
     assert dom[20] == "ville.gouv.fr"
     assert dom[21] == "example.co.kr"
+    assert dom[22] == "[2001:db8::1]"
+    assert dom[23] == "[2001:db8::2]"
+    assert dom[24] == "[::ffff:10.0.0.1]"
+    assert dom[25] == dom[26] == "shop.foo.ck"
+    assert dom[27] == dom[28] == "www.ck"
+    assert dom[29] == "site.org.bd"
 
 
 def test_registered_domain_three_way_parity_generated(spark, duck):
@@ -1142,19 +1159,26 @@ def test_registered_domain_three_way_parity_generated(spark, duck):
     import pandas as pd
 
     from geonames_rdf_spark.operators import domains
-    from geonames_rdf_spark.operators.psl_snapshot import SUFFIX2, SUFFIX3
+    from geonames_rdf_spark.operators.psl_snapshot import (
+        EXCEPTION2, SUFFIX2, SUFFIX3, WILDCARD_TLD)
 
     def py_ref(url):
         if url is None:
             return None
-        m = _re.match(r"^[^/?#]*//(?:[^/?#@]*@)?([^/?#:]+)", url)
+        m = _re.match(r"^[^/?#]*//(?:[^/?#@]*@)?(\[[^\]/?#]*\]|[^/?#:]+)",
+                      url)
         host = m.group(1).lower() if m and m.group(1) else None
         if not host:
             return None
         labels = host.split(".")
         n = len(labels)
-        if n <= 2 or _re.fullmatch(r"\d+\.\d+\.\d+\.\d+", host):
+        if (n <= 2 or _re.fullmatch(r"\d+\.\d+\.\d+\.\d+", host)
+                or host.startswith("[")):
             return host
+        if ".".join(labels[-2:]) in EXCEPTION2:
+            return ".".join(labels[-2:])
+        if labels[-1] in WILDCARD_TLD:
+            return ".".join(labels[-3:])
         if n > 3 and ".".join(labels[-3:]) in SUFFIX3:
             return ".".join(labels[-4:])
         if ".".join(labels[-2:]) in SUFFIX2:
@@ -1168,10 +1192,21 @@ def test_registered_domain_three_way_parity_generated(spark, duck):
                  f"https://a.b.site.{suf}/p",    # deep subdomain
                  f"https://UP.Site.{suf.upper()}/p",   # case
                  f"http://u:p@x.{suf}:8080/p?q=1"]     # userinfo+port
+    # r08: every wildcard TLD and every exception name, same shapes
+    for tld in WILDCARD_TLD:
+        urls += [f"https://site.{tld}/p",        # bare 2-label (pass)
+                 f"https://reg.site.{tld}/p",    # registrable under *
+                 f"https://a.reg.site.{tld}/p",  # deep subdomain
+                 f"http://u@REG.Site.{tld.upper()}:81/p"]
+    for exc in EXCEPTION2:
+        urls += [f"https://{exc}/p", f"https://sub.{exc}/p"]
     urls += ["https://plain.org/", "https://a.b.c.d.plain.org/",
              "http://localhost/", "http://10.0.0.1/x",
              "https://xn--idn.example/", "ftp://f.co.uk/",
              "https://trailingdot.org./",  # trailing dot: 3 labels, last ''
+             # bracketed IPv6: whole-host pass-through in all 3 engines
+             "http://[2001:db8::1]/", "http://[2001:db8::1]:443/",
+             "https://u@[fe80::a.b.example]/",  # brackets beat dots
              "not a url", "", None]
 
     pdf = pd.DataFrame({"i": range(len(urls)), "url": urls})
@@ -1303,6 +1338,12 @@ def test_dedup_spans_c4_duck_parity(spark, duck):
         (2, "No boilerplate here. Just two sentences."),
         (3, banner),                    # span-only doc -> empty after dedup
         (4, None),
+        # ADVICE r07: \x0B (vertical tab) after punctuation — Java \s
+        # matches it, RE2 \s does not; the explicit shared class must
+        # split identically in both engines (NOT at the \x0B here)
+        (5, "Gamma one.\x0bGamma two. Gamma three. Gamma four. G five."),
+        # and the shared class members still split in both engines
+        (6, "Delta one.\tDelta two.\nDelta three.\fDelta four. D five."),
     ]
     pdf = pd.DataFrame(docs, columns=["doc_id", "text"])
     d = spark.createDataFrame(pdf)
@@ -1322,6 +1363,11 @@ def test_dedup_spans_c4_duck_parity(spark, duck):
     assert rows[1]["n_lines_removed"] == 1
     assert rows[3]["text"] == "" and rows[3]["n_lines_kept"] == 0
     assert rows[4]["text"] == "" and rows[4]["n_lines_kept"] == 1
+    # \x0B is NOT a boundary: "Gamma one.\x0bGamma two." rides inside
+    # one sentence, so doc 5 splits into ["...two.", "three.", "four."]
+    # + partial — 2 spans, both unique, both kept
+    assert rows[5]["n_lines_removed"] == 0 and "\x0b" in rows[5]["text"]
+    assert rows[6]["n_lines_removed"] == 0 and rows[6]["n_lines_kept"] == 2
 
 
 def test_pack_sequences_validates_on_oversize_at_entry(spark):
@@ -1405,6 +1451,25 @@ def test_cap_per_domain_big_route_enforces_unique_keys(spark):
     # window route: exact count even with the duplicate keys present
     out = domains.cap_per_domain(pages, max_docs=2)
     assert sum(r["domain_kept"] for r in out.collect()) == 2
+
+
+def test_cap_per_domain_releases_counts_cache(spark):
+    """The pre-flight per-domain counts aggregate must NOT outlive the
+    call (VERDICT r07 #2 — one leaked MEMORY_AND_DISK frame per call in
+    a long-lived session): repeated calls, each fully materialized,
+    leave the persistent-RDD registry exactly where it started."""
+    from geonames_rdf_spark.operators import domains
+
+    pages = spark.createDataFrame(
+        [(f"https://d{i % 7}.com/p{j}", f"2026-01-{j + 1:02d}")
+         for i in range(7) for j in range(5)],
+        "url string, warc_ts string")
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    for _ in range(3):
+        out = domains.cap_per_domain(pages, max_docs=2)
+        assert out.count() == 35
+    assert jsc.getPersistentRDDs().size() == before
 
 
 def test_near_dup_clusters_chain_transitive(spark):
