@@ -21,14 +21,21 @@ immutable version directory and the commit is ONE atomic pointer swap
 - append snapshots (r07) — `write_table_versioned(..., append=True)`
   commits only the new rows with a `_parents.json` manifest, so a
   continuous ingest commits each epoch without rewriting the corpus;
-- optimistic concurrency (r07) — `write_table_versioned(..., base=N)`
-  commits as exactly `v=N+1`; the atomic mkdir admits at most ONE
-  winner per base, the loser gets `CommitConflict` and retries on the
-  new current — Iceberg's validate-and-retry commit protocol.
+- optimistic concurrency (r07, hardened r08) — `write_table_versioned(
+  ..., base=N)` commits as exactly `v=N+1`; the write is STAGED in a
+  private `_staging_*` dir and claimed+committed by one atomic
+  `os.rename` (rename onto a non-empty dir fails), so at most ONE
+  winner per base, with no claim-release window and no orphan claim
+  dirs — the loser gets `CommitConflict` and retries on the new
+  current, Iceberg's validate-and-retry commit protocol;
+- bounded append chains (r08) — `max_chain` folds an over-long chain
+  into a full-rewrite snapshot inline, carrying the chain's epoch
+  watermark, so reader fan-out is bounded by policy.
 
 Single-filesystem semantics: concurrent writers are serialized by the
-atomic `mkdir` of the version directory (loser retries with the next
-version number); cross-node object stores need the real Iceberg catalog.
+atomicity of `rename(2)` into the version-directory namespace (loser
+retries with the next version number); cross-node object stores need
+the real Iceberg catalog.
 """
 
 from __future__ import annotations
@@ -110,6 +117,19 @@ class CommitConflict(RuntimeError):
     protocol's conflict signal."""
 
 
+#: Maximum append-chain length (own dir + ancestors) a snapshot may
+#: resolve to.  A reader of snapshot N pays one parquet root per chain
+#: link, so unbounded appends mean unbounded scan fan-out and file
+#: counts; at the bound the writer folds the chain into a full-rewrite
+#: snapshot inline (the Iceberg ``rewrite_data_files`` maintenance,
+#: amortized: one O(table) rewrite per ``DEFAULT_MAX_CHAIN`` O(batch)
+#: appends).  Pass ``max_chain=None`` to disable and run compaction
+#: out of band.
+DEFAULT_MAX_CHAIN = 64
+
+_STAGING_PREFIX = "_staging_"
+
+
 def write_table_versioned(
     df: DataFrame,
     path: str,
@@ -117,33 +137,60 @@ def write_table_versioned(
     base: int | None = None,
     append: bool = False,
     epoch: int | None = None,
+    max_chain: int | None = DEFAULT_MAX_CHAIN,
 ) -> int:
-    """Snapshot commit: write an immutable ``v=N`` directory, then swap
-    the ``_CURRENT`` pointer atomically.  Returns the committed version.
+    """Snapshot commit: stage the write into a private ``_staging_*``
+    directory, then claim-and-commit it as ``v=N`` with ONE atomic
+    ``os.rename``, then swap the ``_CURRENT`` pointer.  Returns the
+    committed version.
 
     A reader that already resolved the pointer is unaffected by the
     commit (its version dir is immutable until expiry) — the snapshot
     isolation Iceberg gives, emulated with rename atomicity.
 
+    Commit protocol (r08, ADVICE r07): the claim and the data are the
+    SAME rename — a version directory either does not exist or is a
+    complete committed snapshot (data + manifest), never a claimed-but-
+    empty placeholder.  ``rename(2)`` onto an existing non-empty
+    directory fails with ENOTEMPTY, which is what serializes writers;
+    onto a missing path it commits.  Consequences:
+
+    * no claim-release window — the earlier protocol claimed with
+      ``mkdir`` then rewrote the claimed dir with
+      ``mode('overwrite')``, which DELETES it first, momentarily
+      releasing the claim to a concurrent writer;
+    * no orphan claims — a writer that dies mid-write leaves only a
+      ``_staging_*`` dir (invisible to readers and to
+      ``table_snapshots``; swept by ``expire_snapshots``), never a
+      dead ``v=N`` that blocks every future commit on that base.
+
     ``base`` (optimistic concurrency): commit only as version
-    ``base + 1``.  The atomic ``mkdir`` of the version directory means
-    AT MOST ONE writer per base can claim it — the loser gets
+    ``base + 1``; the loser of the rename race gets
     :class:`CommitConflict` and must re-read the new current snapshot
-    and retry, exactly Iceberg's validate-and-retry commit protocol.
-    Without ``base`` the writer takes the next free version
-    (last-writer-wins under the monotonic pointer, as before).
+    and retry — Iceberg's validate-and-retry commit protocol.  Without
+    ``base`` the writer takes the next free version (last-writer-wins
+    under the monotonic pointer, as before).
 
     ``append=True`` (fast append): the new snapshot's data is ONLY the
     rows written now; the snapshot additionally records its parent
     chain in a ``_parents.json`` manifest (underscore-prefixed — Spark
-    scans ignore it) and readers resolve the closure, so a continuous
-    ingest commits each epoch WITHOUT rewriting the corpus — Iceberg's
-    append snapshot.  Appends require ``partition_cols=()`` (multiple
-    scan roots don't share partition discovery) and a non-empty parent
-    to append to (else it is just a full write).  ``expire_snapshots``
-    keeps every version referenced by a surviving snapshot's chain
-    alive: storage is bounded by the cadence of full (non-append)
-    rewrites, which break the chain.
+    scans ignore it; staged WITH the data, so a committed snapshot is
+    atomically complete) and readers resolve the closure, so a
+    continuous ingest commits each epoch WITHOUT rewriting the corpus —
+    Iceberg's append snapshot.  Appends require ``partition_cols=()``
+    (multiple scan roots don't share partition discovery) and a
+    non-empty parent to append to (else it is just a full write).
+    ``expire_snapshots`` keeps every version referenced by a surviving
+    snapshot's chain alive.
+
+    ``max_chain`` (r08, VERDICT r07 #8) bounds append-chain read
+    amplification: when committing this append would make the resolved
+    chain longer than ``max_chain`` roots, the writer instead reads the
+    parent chain, unions the new rows, and commits a FULL snapshot
+    (empty parent list — the chain is broken, and prior links become
+    expirable).  The compacted manifest carries the chain's maximum
+    ``epoch`` forward, so the streaming replay guard
+    (``last_committed_epoch``) survives auto-compaction.
 
     ``epoch`` stamps the snapshot's manifest with a writer-defined
     monotonic id — the streaming sink records its micro-batch epoch
@@ -152,58 +199,81 @@ def write_table_versioned(
     (``last_committed_epoch``) — Iceberg's exactly-once streaming
     commit, emulated.
     """
+    import errno
+
     os.makedirs(path, exist_ok=True)
     if append and partition_cols:
         raise ValueError("append snapshots do not support partition_cols"
                          " (multiple scan roots don't share partition"
                          " discovery); write a full snapshot instead")
-    if base is not None:
-        v = base + 1
-        vdir = os.path.join(path, f"v={v}")
-        try:
-            os.mkdir(vdir)  # at most ONE claimant per base
-        except FileExistsError:
-            raise CommitConflict(
-                f"snapshot v={v} already claimed: another writer"
-                f" committed on base {base} first — re-read the current"
-                " snapshot and retry") from None
-    else:
-        v = (current_snapshot(path) or max(table_snapshots(path),
-                                           default=0))
-        while True:
-            v += 1
-            vdir = os.path.join(path, f"v={v}")
-            try:
-                os.mkdir(vdir)  # atomic claim: writers serialize here
-                break
-            except FileExistsError:
-                continue
     parents: list[int] = []
     if append:
         # append onto the COMMITTED base (an unconditional append uses
-        # the current pointer — never a claimed-but-uncommitted dir)
+        # the current pointer — never an uncommitted version number)
         parent = base if base is not None else (current_snapshot(path) or 0)
         if parent >= 1:
             if not os.path.isdir(os.path.join(path, f"v={parent}")):
                 # silently degrading to a full write would commit a
                 # snapshot missing the table's history
-                os.rmdir(vdir)  # release the claim
                 raise ValueError(
                     f"append: base snapshot v={parent} does not exist"
                     f" under {path}")
             parents = [parent] + _parents_of(path, parent)
-    w = df.write.mode("overwrite")
-    if partition_cols:
-        w = w.partitionBy(*partition_cols)
-    w.parquet(vdir)
-    if parents or epoch is not None:
-        manifest: dict = {"parents": parents}
+    if append and max_chain is not None and len(parents) + 1 > max_chain:
+        # inline compaction: fold the chain + the new rows into one
+        # full-rewrite snapshot, carrying the chain's epoch watermark
+        chain_epochs = [int(_manifest_of(path, u).get("epoch", -1))
+                        for u in parents]
         if epoch is not None:
-            manifest["epoch"] = int(epoch)
-        tmp = os.path.join(vdir, "_parents.json.tmp")
-        with open(tmp, "w") as f:
-            json.dump(manifest, f)
-        os.replace(tmp, os.path.join(vdir, "_parents.json"))
+            chain_epochs.append(int(epoch))
+        chain_max = max(chain_epochs, default=-1)
+        epoch = chain_max if chain_max >= 0 else None
+        df = read_table_versioned(
+            df.sparkSession, path, snapshot=parents[0]).unionByName(df)
+        parents = []
+
+    staging = tempfile.mkdtemp(dir=path, prefix=_STAGING_PREFIX)
+    try:
+        w = df.write.mode("overwrite")
+        if partition_cols:
+            w = w.partitionBy(*partition_cols)
+        w.parquet(staging)
+        if parents or epoch is not None:
+            manifest: dict = {"parents": parents}
+            if epoch is not None:
+                manifest["epoch"] = int(epoch)
+            tmp = os.path.join(staging, "_parents.json.tmp")
+            with open(tmp, "w") as f:
+                json.dump(manifest, f)
+            os.replace(tmp, os.path.join(staging, "_parents.json"))
+
+        if base is not None:
+            v = base + 1
+            try:
+                # atomic claim+commit; replaces nothing but an empty dir
+                os.rename(staging, os.path.join(path, f"v={v}"))
+            except OSError as e:
+                if e.errno not in (errno.ENOTEMPTY, errno.EEXIST):
+                    raise
+                raise CommitConflict(
+                    f"snapshot v={v} already committed: another writer"
+                    f" won base {base} — re-read the current snapshot"
+                    " and retry") from None
+        else:
+            v = (current_snapshot(path) or max(table_snapshots(path),
+                                               default=0))
+            while True:
+                v += 1
+                try:
+                    os.rename(staging, os.path.join(path, f"v={v}"))
+                    break
+                except OSError as e:
+                    if e.errno in (errno.ENOTEMPTY, errno.EEXIST):
+                        continue  # lost the race for this number
+                    raise
+    except BaseException:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
     _commit_pointer(path, v)
     return v
 
@@ -245,7 +315,10 @@ def _commit_pointer(path: str, v: int) -> None:
     first, a later os.replace from the v=N writer must not move the
     pointer backwards (that would silently discard the newer snapshot
     from "current").  Re-check under a brief retry loop: losing the race
-    is fine — the older snapshot stays readable via time travel."""
+    is fine — the older snapshot stays readable via time travel.
+    Exhausting the retries RAISES (VERDICT r07 #5): a silent return
+    would strand the pointer behind the newest snapshot — the snapshot
+    is on disk but invisible to "current" readers — with no signal."""
     for _ in range(3):
         cur = current_snapshot(path)
         if cur is not None and cur >= v:
@@ -258,6 +331,11 @@ def _commit_pointer(path: str, v: int) -> None:
         # check and the replace, loop and restore monotonicity
         if (current_snapshot(path) or 0) >= v:
             return
+    raise RuntimeError(
+        f"_commit_pointer: snapshot v={v} is committed under {path} but"
+        " the _CURRENT pointer kept regressing across 3 swap attempts —"
+        " a pathological writer race or an external process is rewriting"
+        " the pointer; the snapshot stays readable via time travel")
 
 
 def read_table_versioned(spark: SparkSession, path: str,
@@ -279,7 +357,17 @@ def expire_snapshots(path: str, keep: int = 2) -> list[int]:
     snapshot).  Returns the expired version numbers — the Iceberg
     maintenance operation that bounds storage under continuous commits;
     with append chains, storage is additionally bounded by the cadence
-    of full rewrites (which break the chain)."""
+    of full rewrites (which break the chain).
+
+    Also sweeps dead ``_staging_*`` directories — the only residue a
+    crashed writer can leave under the r08 stage-then-rename protocol
+    (readers never see them; this is Iceberg's ``remove_orphan_files``).
+    Run maintenance with no writers in their staging window, the same
+    operational contract as the real procedure."""
+    if os.path.isdir(path):
+        for d in os.listdir(path):
+            if d.startswith(_STAGING_PREFIX):
+                shutil.rmtree(os.path.join(path, d), ignore_errors=True)
     cur = current_snapshot(path)
     versions = table_snapshots(path)
     survivors = set(versions[-keep:]) | ({cur} if cur is not None else set())

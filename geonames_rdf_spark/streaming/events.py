@@ -316,12 +316,28 @@ def run_stream_kg_warc(
     return _start_kg_sink(linked, out_dir, n_buckets)
 
 
+def _checkpoint_max_batch(checkpoint_dir: str) -> int:
+    """Largest micro-batch id recorded in a Structured Streaming
+    checkpoint's ``offsets/`` log (-1 when absent/empty).  Spark writes
+    the offset file BEFORE processing a batch, so this is the high
+    watermark of epochs the checkpoint can ever re-deliver."""
+    import os
+
+    offsets = os.path.join(checkpoint_dir, "offsets")
+    try:
+        ids = [int(f) for f in os.listdir(offsets) if f.isdigit()]
+    except (FileNotFoundError, NotADirectoryError):
+        return -1
+    return max(ids, default=-1)
+
+
 def run_stream_kg_catalog(
     spark: SparkSession,
     warc_dir: str,
     scored_map: dict[str, list[tuple[int, float, str]]],
     table_path: str,
     max_files_per_trigger: int | None = None,
+    on_stale_checkpoint: str = "error",
 ):
     """Live-crawl KG maintenance committing each micro-batch as a
     versioned-catalog APPEND snapshot (``sources.catalog``) instead of
@@ -332,14 +348,45 @@ def run_stream_kg_catalog(
     stamp (``last_committed_epoch``) and skipped — exactly-once at the
     catalog-commit level, the Iceberg streaming-sink protocol.
 
+    The epoch guard is SCOPED to the checkpoint lineage (ADVICE r07):
+    epoch ids restart at 0 under a fresh or lost checkpoint, so a new
+    query pointed at an already-written table would silently skip its
+    first ``last_committed_epoch + 1`` batches — dropping genuinely NEW
+    files, not just replays.  This entry therefore refuses to START
+    when the table's committed epoch watermark is ahead of the
+    checkpoint's offset log (the only state that can re-deliver those
+    epochs).  ``on_stale_checkpoint='replay_only'`` overrides the
+    refusal for the one safe case — the source directory holds nothing
+    beyond what the table already committed, so every skipped batch is
+    a true replay (the caller asserts that; it cannot be verified from
+    here).
+
     Single-writer by construction (one streaming query per table);
     compaction = a full (non-append) rewrite with the stream stopped
-    and its checkpoint intact (see ``last_committed_epoch``).  Replay
+    and its checkpoint intact, or the catalog's bounded ``max_chain``
+    auto-compaction, which carries the epoch watermark forward.  Replay
     idempotence and stream==batch equality are pytest-pinned."""
     from geonames_rdf_spark.pipeline import materialize
     from geonames_rdf_spark.pipeline import mentions as m
     from geonames_rdf_spark.sources import catalog
     from geonames_rdf_spark.sources.warc import read_warc_stream
+
+    if on_stale_checkpoint not in ("error", "replay_only"):
+        raise ValueError("on_stale_checkpoint must be 'error' or"
+                         f" 'replay_only', got {on_stale_checkpoint!r}")
+    ckpt = f"{table_path}/_checkpoint"
+    table_epoch = catalog.last_committed_epoch(table_path)
+    ckpt_epoch = _checkpoint_max_batch(ckpt)
+    if table_epoch > ckpt_epoch and on_stale_checkpoint == "error":
+        raise ValueError(
+            f"stale checkpoint: table {table_path} has committed epoch"
+            f" {table_epoch} but the checkpoint's offset log ends at"
+            f" {ckpt_epoch} — a fresh query would renumber batches from"
+            f" {ckpt_epoch + 1} and the epoch guard would silently skip"
+            " them even if they carry NEW files.  Restore the original"
+            " checkpoint, re-ingest into a fresh table, or — only if the"
+            " source dir contains nothing the table hasn't committed —"
+            " pass on_stale_checkpoint='replay_only'")
 
     pages = read_warc_stream(
         spark, warc_dir,
@@ -356,7 +403,7 @@ def run_stream_kg_catalog(
 
     return (
         linked.writeStream.foreachBatch(write_batch)
-        .option("checkpointLocation", f"{table_path}/_checkpoint")
+        .option("checkpointLocation", ckpt)
         .start()
     )
 

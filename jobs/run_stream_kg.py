@@ -44,6 +44,11 @@ def main() -> None:
                     help="archives per micro-batch (the ingest-rate knob)")
     ap.add_argument("--drain", action="store_true",
                     help="process what is there now, then exit")
+    ap.add_argument("--replay-only", action="store_true",
+                    help="catalog sink: allow starting with a fresh/lost"
+                         " checkpoint against an already-written table"
+                         " — ONLY safe when the drop dir holds nothing"
+                         " the table hasn't committed (pure replay)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -60,7 +65,9 @@ def main() -> None:
     if args.sink == "catalog":
         q = ev.run_stream_kg_catalog(
             spark, args.drop_dir, smap, args.out,
-            max_files_per_trigger=args.max_files_per_trigger)
+            max_files_per_trigger=args.max_files_per_trigger,
+            on_stale_checkpoint=("replay_only" if args.replay_only
+                                 else "error"))
     else:
         q = ev.run_stream_kg_warc(
             spark, args.drop_dir, smap, args.out, n_buckets=args.buckets,

@@ -223,6 +223,88 @@ def test_versioned_catalog_append_chain_and_occ(spark, tmp_path):
     assert catalog.table_snapshots(path) == before
 
 
+def test_versioned_catalog_chain_bound_and_crash_residue(spark, tmp_path):
+    """r08 catalog hardening, three invariants:
+
+    1. ``max_chain`` bounds append-chain read amplification: ~100
+       appends under ``max_chain=8`` never resolve more than 8 parquet
+       roots per read, rows and the epoch replay watermark survive
+       every inline compaction, and intermediate chain links become
+       expirable.
+    2. A crashed writer's residue is a ``_staging_*`` dir only —
+       invisible to readers/table_snapshots, never a dead ``v=N``
+       claim that would CommitConflict every future commit on that
+       base; ``expire_snapshots`` sweeps it.
+    3. An EMPTY ``v=N`` dir (a dead claim left by the pre-r08 mkdir
+       protocol) is silently reclaimed by the next commit on that
+       base instead of conflicting forever.
+    """
+    import os
+
+    from geonames_rdf_spark.sources import catalog
+
+    path = str(tmp_path / "vtab_chain")
+    catalog.write_table_versioned(
+        spark.range(5).withColumn("x", F.lit("full")), path, epoch=0)
+    n_appends = 100
+    max_roots = 0
+    for e in range(1, n_appends + 1):
+        catalog.write_table_versioned(
+            spark.range(1000 + e, 1001 + e).withColumn("x", F.lit("a")),
+            path, append=True, epoch=e, max_chain=8)
+        cur = catalog.current_snapshot(path)
+        roots = 1 + len(catalog._parents_of(path, cur))
+        max_roots = max(max_roots, roots)
+        assert roots <= 8, (e, roots)
+        assert catalog.last_committed_epoch(path) == e  # survives compaction
+    assert max_roots == 8  # the bound is actually exercised
+    assert catalog.read_table_versioned(spark, path).count() == 5 + n_appends
+    # compaction broke the chain repeatedly: expiry can retire history
+    assert len(catalog.expire_snapshots(path, keep=8)) > 80
+    assert catalog.read_table_versioned(spark, path).count() == 5 + n_appends
+
+    # (2) crashed writer residue: a staging dir neither blocks commits
+    # nor shows up as a snapshot; expire sweeps it
+    dead = os.path.join(path, catalog._STAGING_PREFIX + "dead")
+    os.makedirs(os.path.join(dead, "part"), exist_ok=True)
+    before = catalog.table_snapshots(path)
+    assert before == catalog.table_snapshots(path)  # residue invisible
+    base = catalog.current_snapshot(path)
+    v = catalog.write_table_versioned(
+        spark.range(1).withColumn("x", F.lit("after-crash")), path,
+        append=True, base=base)
+    assert v == base + 1
+    catalog.expire_snapshots(path, keep=10_000)
+    assert not os.path.isdir(dead)
+
+    # (3) dead EMPTY claim on the next version: reclaimed, not fatal
+    cur = catalog.current_snapshot(path)
+    os.mkdir(os.path.join(path, f"v={cur + 1}"))
+    v2 = catalog.write_table_versioned(
+        spark.range(1).withColumn("x", F.lit("reclaim")), path,
+        append=True, base=cur)
+    assert v2 == cur + 1
+    assert catalog.read_table_versioned(
+        spark, path, snapshot=v2).count() == 5 + n_appends + 2
+
+
+def test_commit_pointer_raises_on_retry_exhaustion(tmp_path, monkeypatch):
+    """A pointer that keeps regressing (external rewriter) must raise
+    after the retries, not silently strand the committed snapshot
+    behind a stale "current" (VERDICT r07 #5)."""
+    import pytest as _pytest
+
+    from geonames_rdf_spark.sources import catalog
+
+    path = str(tmp_path / "vtab_ptr")
+    import os
+
+    os.makedirs(path)
+    monkeypatch.setattr(catalog, "current_snapshot", lambda p: 0)
+    with _pytest.raises(RuntimeError, match="_CURRENT pointer"):
+        catalog._commit_pointer(path, 1)
+
+
 def test_warc_roundtrip_and_pipeline_ingest(spark, tmp_path):
     """Common-Crawl-shaped ingestion: pages written as .warc.gz archives
     read back byte-identical (url, ts, html), and the fused KG pipeline

@@ -356,11 +356,22 @@ def test_stream_kg_catalog_append_exactly_once(spark, tmp_path):
     assert 0 < catalog.read_table_versioned(
         spark, table, snapshot=snaps[0]).count() < streamed.count()
 
-    # replay: wipe the checkpoint so the re-run re-delivers EVERY file;
-    # the epoch guard must skip all of them — no new snapshots, same rows
+    # lost checkpoint (ADVICE r07): a fresh query would renumber epochs
+    # from 0 and the guard would skip them EVEN IF they carried new
+    # files — the default must refuse to start, not silently drop
+    import pytest as _pytest
+
     _shutil.rmtree(f"{table}/_checkpoint")
+    with _pytest.raises(ValueError, match="stale checkpoint"):
+        ev.run_stream_kg_catalog(spark, drop, smap_scored, table,
+                                 max_files_per_trigger=1)
+
+    # replay_only: the caller asserts the drop dir holds nothing the
+    # table hasn't committed, so re-delivering EVERY file is pure
+    # replay; the epoch guard skips all — no new snapshots, same rows
     q2 = ev.run_stream_kg_catalog(spark, drop, smap_scored, table,
-                                  max_files_per_trigger=1)
+                                  max_files_per_trigger=1,
+                                  on_stale_checkpoint="replay_only")
     try:
         q2.processAllAvailable()
     finally:
