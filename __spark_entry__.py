@@ -550,8 +550,10 @@ def _q_ann_lsh(spark, sf_dir):
 
     e = _emb(spark, sf_dir)
     q = e.filter("vec_id = 0").select("embedding").first()["embedding"]
+    # r08 default operating point (probe_hamming=3 — recall 0.74 on the
+    # uniform worst case, vs 0.26 at the old radius-1 point)
     return similarity.ann_lsh_topk(e, [float(x) for x in q], k=10,
-                                   planes=8, probe_hamming=1)
+                                   planes=8, probe_hamming=3)
 
 
 def _q_emb_neardup(spark, sf_dir):

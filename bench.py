@@ -34,10 +34,29 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 N_PAGES = int(os.environ.get("BENCH_PAGES", "20000"))
 
 
+def _host_load() -> dict:
+    """Host-load context (VERDICT r07 #1): this host carries bursty
+    load from OUTSIDE the container, and three rounds running the
+    driver artifact pointed opposite to same-session quiet re-runs.
+    Stamping loadavg + uptime into the JSON makes every artifact
+    self-adjudicating — a regressed number under loadavg 8 reads
+    differently from one under loadavg 1."""
+    la = os.getloadavg()
+    try:
+        with open("/proc/uptime") as f:
+            up = float(f.read().split()[0])
+    except OSError:
+        up = None
+    return {"loadavg_1m": round(la[0], 2), "loadavg_5m": round(la[1], 2),
+            "loadavg_15m": round(la[2], 2), "uptime_s": round(up)
+            if up is not None else None}
+
+
 def main() -> None:
     import shutil
     import tempfile
 
+    host_start = _host_load()
     spark = get_spark(app_name="bench")
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
     # 3 interleaved passes: this host's external load bursts last longer
@@ -228,6 +247,30 @@ def main() -> None:
         cold_s, cold_add, out1 = soak()
         warm_s, warm_add, out2 = soak()
         n_triples = ev.read_stream_kg(spark, out2).count()
+
+        # true BATCH equivalent of one soak (VERDICT r07 #7): read_warc
+        # gzip decode -> fused link -> epoch-partitioned sink write —
+        # the r07 parity claim (warm stream ~= this) becomes a number
+        # tracked every round instead of a one-off BENCH.md note
+        def batch_equiv() -> float:
+            bdir = tempfile.mkdtemp(prefix="bench_warc_batch_")
+            t0 = time.time()
+            from pyspark.sql import functions as F
+
+            bp = (warc_src.read_warc(spark, drop + "/*.warc.gz")
+                  .withColumn("lang", F.lit(None).cast("string")))
+            bt = materialize.mention_triples(
+                mentions.detect_and_link(bp, smap, from_html=True))
+            (bt.withColumn("bucket",
+                           F.pmod(F.xxhash64("subj"), F.lit(16)))
+               .withColumn("epoch", F.lit(0))
+               .write.mode("overwrite").partitionBy("epoch", "bucket")
+               .parquet(f"{bdir}/triples"))
+            dt = time.time() - t0
+            shutil.rmtree(bdir, ignore_errors=True)
+            return dt
+
+        batch_s = min(batch_equiv(), batch_equiv())
         streaming = {
             "archives": n_archives,
             "pages": stream_pages,
@@ -236,6 +279,8 @@ def main() -> None:
             "warm_seconds": round(warm_s, 3),
             "warm_pages_per_sec": round(stream_pages / warm_s),
             "add_batch_ms": warm_add,
+            "batch_equiv_seconds": round(batch_s, 3),
+            "warm_vs_batch": round(warm_s / batch_s, 2),
             "triples": n_triples,
             "triples_per_sec": round(n_triples / warm_s),
         }
@@ -256,19 +301,54 @@ def main() -> None:
               for r in emb_r.orderBy("vec_id").limit(5).collect()]
         dim = len(qs[0])
         cents = similarity.fixed_centroids(8, dim)
-        rec_ivf = rec_lsh = 0.0
+        rec_ivf = rec_lsh1 = rec_lsh3 = 0.0
         for qv in qs:
             exact = {r["vec_id"] for r in
                      similarity.cosine_topk(emb_r, qv, k=10).collect()}
             ivf = {r["vec_id"] for r in similarity.ann_ivf_topk(
                 emb_r, qv, k=10, centroids=cents, nprobe=2).collect()}
-            lsh = {r["vec_id"] for r in similarity.ann_lsh_topk(
+            lsh1 = {r["vec_id"] for r in similarity.ann_lsh_topk(
                 emb_r, qv, k=10, planes=8, probe_hamming=1).collect()}
+            lsh3 = {r["vec_id"] for r in similarity.ann_lsh_topk(
+                emb_r, qv, k=10, planes=8, probe_hamming=3).collect()}
             rec_ivf += len(ivf & exact) / 10
-            rec_lsh += len(lsh & exact) / 10
+            rec_lsh1 += len(lsh1 & exact) / 10
+            rec_lsh3 += len(lsh3 & exact) / 10
+
+        # CLUSTERED second point (VERDICT r07 #4): the uniform table is
+        # hyperplane LSH's worst case (recall ~tracks probed fraction);
+        # real embedding corpora are clustered, where a TIGHT radius is
+        # cheap AND accurate.  Deterministic 16-cluster mixture (seeded
+        # numpy), same row count, tracked next to the worst case so the
+        # operating-point guidance in DESIGN.md stays measured.
+        import numpy as _np
+        import pandas as _pd
+
+        rng = _np.random.default_rng(8)
+        n_cl = emb_r.count()
+        cents_cl = rng.uniform(-0.5, 0.5, size=(16, dim))
+        asg = rng.integers(0, 16, size=n_cl)
+        vecs = cents_cl[asg] + rng.normal(0, 0.05, size=(n_cl, dim))
+        emb_cl = spark.createDataFrame(_pd.DataFrame({
+            "vec_id": _np.arange(n_cl, dtype="int64"),
+            "embedding": [r.astype("float32") for r in vecs],
+        })).cache()
+        rec_lsh_cl = 0.0
+        qcl = [[float(x) for x in vecs[i]] for i in range(5)]
+        for qv in qcl:
+            exact = {r["vec_id"] for r in
+                     similarity.cosine_topk(emb_cl, qv, k=10).collect()}
+            lsh = {r["vec_id"] for r in similarity.ann_lsh_topk(
+                emb_cl, qv, k=10, planes=8, probe_hamming=1).collect()}
+            rec_lsh_cl += len(lsh & exact) / 10
         recall = {"k": 10, "queries": len(qs),
                   "ivf_nprobe2_of8": round(rec_ivf / len(qs), 3),
-                  "lsh_hamming1_of8planes": round(rec_lsh / len(qs), 3)}
+                  "lsh_hamming1_of8planes": round(rec_lsh1 / len(qs), 3),
+                  "lsh_hamming3_of8planes_default":
+                      round(rec_lsh3 / len(qs), 3),
+                  "lsh_hamming1_clustered":
+                      round(rec_lsh_cl / len(qcl), 3)}
+        emb_cl.unpersist()
         emb_r.unpersist()
 
     total = round(sum(timings.values()), 3)
@@ -283,6 +363,7 @@ def main() -> None:
         "triples_per_sec": round(counts["kg_full_build"] / timings["kg_full_build"]),
         "pages_per_sec": round(N_PAGES / timings["web_pipeline"]),
         "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+        "host": {"start": host_start, "end": _host_load()},
     }
     if steady:
         out["steady_state"] = steady

@@ -92,10 +92,23 @@ def lsh_bucket(vec: Column, planes: int = 16, dim: int = 64) -> Column:
 
 def ann_lsh_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
                  planes: int = 8, vec_col: str = "embedding",
-                 id_col: str = "vec_id", probe_hamming: int = 1) -> DataFrame:
+                 id_col: str = "vec_id", probe_hamming: int = 3) -> DataFrame:
     """Approximate top-k: restrict the exact re-rank to vectors whose LSH
     bucket is within ``probe_hamming`` bits of the query's bucket
-    (multi-probe).  Same output schema as ``cosine_topk``."""
+    (multi-probe).  Same output schema as ``cosine_topk``.
+
+    Operating point (r08, VERDICT r07 #4): the default is ``planes=8,
+    probe_hamming=3`` — measured recall@10 **0.74** on the synthetic
+    UNIFORM embeddings (the documented worst case for hyperplane LSH:
+    with no cluster structure, recall tracks the probed-bucket fraction
+    almost linearly, so any cheap radius is a recall footgun — the old
+    ``probe_hamming=1`` default measured 0.26).  Cost: ~36% of buckets
+    probed (sum of C(8,i), i<=3, over 2^8).  On CLUSTERED (realistic)
+    embeddings the signal is real and a tighter radius prunes harder at
+    high recall — bench.py tracks both points (`recall` object) every
+    round; pick the radius from the measured curve in DESIGN.md, or use
+    IVF (`ann_ivf_topk`), which holds recall better under uniform data
+    for the same scan fraction."""
     q = _query_lit(query_vec)
     dim = len(query_vec)  # the query defines the expected width
     qsig = lsh_bucket(q, planes, dim=dim)

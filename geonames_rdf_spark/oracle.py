@@ -1594,7 +1594,7 @@ LIMIT {k}
 
 
 def _ann_lsh_sql(planes: int = 8, dim: int = 64, k: int = 10,
-                 probe_hamming: int = 1) -> str:
+                 probe_hamming: int = 3) -> str:
     """Oracle for similarity.ann_lsh_topk (multi-probe hyperplane LSH)."""
     from geonames_rdf_spark.operators.similarity import _unit
 
