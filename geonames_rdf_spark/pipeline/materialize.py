@@ -54,6 +54,18 @@ class PipelineStages(dict):
     def __init__(self, factories):
         super().__init__()
         self._factories = factories
+        self._cached: list = []
+
+    def unpersist(self, blocking: bool = False) -> None:
+        """Release the frames ``run_pipeline`` persisted for this run
+        (caller-owned cache lifecycle, r08 — the library must not leak
+        a cache per call in a long-lived session; cf. the
+        ``cap_per_domain`` counts-leak fix).  Call when done consuming
+        the stages; consuming a stage afterwards recomputes instead of
+        failing."""
+        for df in self._cached:
+            df.unpersist(blocking)
+        self._cached = []
 
     def __getitem__(self, key):
         if not super().__contains__(key) and key in self._factories:
@@ -109,6 +121,9 @@ def run_pipeline(
     link scan; mention scan + the lang join).  On a real deployment the
     corpus is a storage table — the re-read is pruned columnar IO — but a
     generated corpus would otherwise be re-synthesized per consumer.
+    The caches are CALLER-owned: ``stages.unpersist()`` releases them
+    when the consumer is done (repeated calls in a long-lived session
+    would otherwise accumulate one features+pages cache pair per run).
 
     The gazetteer is derived ONCE and threaded into ``build_kg`` (it used
     to be re-derived inside the triple stage); stages are lazy, so each
@@ -164,6 +179,8 @@ def run_pipeline(
         {"linked": mk_linked, "mentions": mk_mentions, "triples": mk_triples}
     )
     stages["pages"] = pages
+    if cache:
+        stages._cached = [features, pages]
     return stages
 
 

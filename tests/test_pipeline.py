@@ -317,3 +317,28 @@ def test_bundle_file_scan_equals_broadcast_scan(spark, tmp_path):
     again = sorted(map(tuple, mentions.detect_and_link(
         pages, None, bundle_file=bundle).collect()))
     assert again == via_file
+
+
+def test_run_pipeline_unpersist_releases_caller_owned_caches(spark):
+    """run_pipeline(cache=True) persists features + pages; the caches
+    are caller-owned and stages.unpersist() must release BOTH (r08 —
+    repeated calls in a long-lived session must not accumulate cached
+    frames; same contract as the cap_per_domain counts fix)."""
+    jsc = spark.sparkContext._jsc.sc()
+    # warm-up call: gazetteer_tables' RAW dimension cache is a
+    # session-singleton (CacheManager dedupes the identical plan across
+    # calls — the accepted warehouse steady state); measure AFTER it
+    # exists so the assertion isolates the per-call frames
+    r0 = materialize.run_pipeline(spark, SF, n_pages=50,
+                                  include_feature_triples=False)
+    assert r0["triples"].count() > 0
+    r0.unpersist(blocking=True)
+    steady = jsc.getPersistentRDDs().size()
+    for _ in range(2):
+        r = materialize.run_pipeline(spark, SF, n_pages=50,
+                                     include_feature_triples=False)
+        assert r["triples"].count() > 0
+        r.unpersist(blocking=True)
+    assert jsc.getPersistentRDDs().size() == steady
+    # stages stay consumable after release (recompute, not KeyError)
+    assert r["pages"].count() == 50
