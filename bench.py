@@ -333,21 +333,27 @@ def main() -> None:
             "vec_id": _np.arange(n_cl, dtype="int64"),
             "embedding": [r.astype("float32") for r in vecs],
         })).cache()
-        rec_lsh_cl = 0.0
+        rec_lsh_cl = rec_ivf_cl = 0.0
         qcl = [[float(x) for x in vecs[i]] for i in range(5)]
+        cents_tr = similarity.train_ivf_centroids(emb_cl, k=8, iters=2)
         for qv in qcl:
             exact = {r["vec_id"] for r in
                      similarity.cosine_topk(emb_cl, qv, k=10).collect()}
             lsh = {r["vec_id"] for r in similarity.ann_lsh_topk(
                 emb_cl, qv, k=10, planes=8, probe_hamming=1).collect()}
+            ivf_cl = {r["vec_id"] for r in similarity.ann_ivf_topk(
+                emb_cl, qv, k=10, centroids=cents_tr, nprobe=2).collect()}
             rec_lsh_cl += len(lsh & exact) / 10
+            rec_ivf_cl += len(ivf_cl & exact) / 10
         recall = {"k": 10, "queries": len(qs),
                   "ivf_nprobe2_of8": round(rec_ivf / len(qs), 3),
                   "lsh_hamming1_of8planes": round(rec_lsh1 / len(qs), 3),
                   "lsh_hamming3_of8planes_default":
                       round(rec_lsh3 / len(qs), 3),
                   "lsh_hamming1_clustered":
-                      round(rec_lsh_cl / len(qcl), 3)}
+                      round(rec_lsh_cl / len(qcl), 3),
+                  "ivf_nprobe2_clustered_lloyd":
+                      round(rec_ivf_cl / len(qcl), 3)}
         emb_cl.unpersist()
         emb_r.unpersist()
 

@@ -264,13 +264,14 @@ def cap_per_domain(pages: DataFrame, max_docs: int,
         n_big_doms = n_over - n_win_doms
         if n_over <= broadcast_max_domains:
             # the over-cap set fits the broadcast bound, so it is by
-            # definition driver-sized: collect it once and rebuild the
-            # three route sets as local-relation frames — zero cache
+            # definition driver-sized: pull it once (Arrow batch — at
+            # the 1M-domain bound a row-wise collect would cost minutes
+            # of py4j serialization, toPandas is sub-second) and rebuild
+            # the three route sets as local-relation frames — zero cache
             # residue, zero re-aggregation in the consuming subtrees
             spark = pages.sparkSession
             over = spark.createDataFrame(
-                [(r["domain"], r["_n"]) for r in over.collect()],
-                schema="domain string, _n bigint")
+                over.toPandas(), schema="domain string, _n bigint")
         else:
             # monster over-set: too big to collect; truncate lineage so
             # the subtrees never re-run the counts aggregate, then drop
