@@ -338,6 +338,7 @@ def run_stream_kg_catalog(
     table_path: str,
     max_files_per_trigger: int | None = None,
     on_stale_checkpoint: str = "error",
+    max_chain: int | None = None,
 ):
     """Live-crawl KG maintenance committing each micro-batch as a
     versioned-catalog APPEND snapshot (``sources.catalog``) instead of
@@ -361,11 +362,19 @@ def run_stream_kg_catalog(
     a true replay (the caller asserts that; it cannot be verified from
     here).
 
-    Single-writer by construction (one streaming query per table);
-    compaction = a full (non-append) rewrite with the stream stopped
-    and its checkpoint intact, or the catalog's bounded ``max_chain``
-    auto-compaction, which carries the epoch watermark forward.  Replay
-    idempotence and stream==batch equality are pytest-pinned."""
+    Single-writer by construction (one streaming query per table).
+    Compaction policy (``max_chain``): the DEFAULT here is ``None`` —
+    unbounded chain, compaction run OUT of band (a full rewrite with
+    the stream stopped and its checkpoint intact) — because the
+    catalog's inline auto-compaction does O(table) work INSIDE the
+    micro-batch that trips it: on a large table that stalls the
+    trigger for the rewrite's duration, which a latency-sensitive
+    ingest must opt into, not discover.  Pass ``max_chain=N`` to opt
+    in: reader fan-out stays bounded at N roots and the epoch
+    watermark survives the fold (exactly-once preserved across
+    compaction — ``catalog.write_table_versioned``), at the cost of
+    one long batch every N commits.  Replay idempotence and
+    stream==batch equality are pytest-pinned."""
     from geonames_rdf_spark.pipeline import materialize
     from geonames_rdf_spark.pipeline import mentions as m
     from geonames_rdf_spark.sources import catalog
@@ -399,7 +408,7 @@ def run_stream_kg_catalog(
             return  # replayed batch: its snapshot already committed
         catalog.write_table_versioned(
             materialize.mention_triples(df), table_path,
-            append=True, epoch=int(epoch_id))
+            append=True, epoch=int(epoch_id), max_chain=max_chain)
 
     return (
         linked.writeStream.foreachBatch(write_batch)

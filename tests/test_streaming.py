@@ -380,6 +380,45 @@ def test_stream_kg_catalog_append_exactly_once(spark, tmp_path):
     assert catalog.read_table_versioned(spark, table).count() == batch.count()
 
 
+def test_stream_kg_catalog_inline_compaction_opt_in(spark, tmp_path):
+    """run_stream_kg_catalog(max_chain=2): the opt-in inline compaction
+    keeps reader fan-out bounded at 2 roots across the soak, preserves
+    the epoch watermark through the fold (exactly-once survives), and
+    the final table still equals the batch path."""
+    from pyspark.sql import functions as F
+
+    from geonames_rdf_spark.operators import build
+    from geonames_rdf_spark.pipeline import corpus, materialize, mentions
+    from geonames_rdf_spark.sources import catalog, warc
+
+    feats = build.gazetteer_tables(spark, SF)["features"]
+    surfaces = corpus.gazetteer_surfaces(feats)
+    pages = corpus.synthesize_pages(spark, surfaces, 120)
+    drop = str(tmp_path / "crawl_drop_compact")
+    warc.write_warc(pages.repartition(3, "url"), drop)
+    smap_scored = mentions.build_scored_surface_map(feats)
+    table = str(tmp_path / "kg_table_compact")
+
+    q = ev.run_stream_kg_catalog(spark, drop, smap_scored, table,
+                                 max_files_per_trigger=1, max_chain=2)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    cur = catalog.current_snapshot(table)
+    assert 1 + len(catalog._parents_of(table, cur)) <= 2  # fan-out bound
+    assert catalog.last_committed_epoch(table) == 2  # watermark survives
+
+    batch_pages = (warc.read_warc(spark, drop + "/*.warc.gz")
+                   .withColumn("lang", F.lit(None).cast("string")))
+    batch = materialize.mention_triples(
+        mentions.detect_and_link(batch_pages, smap_scored, from_html=True))
+    streamed = catalog.read_table_versioned(spark, table)
+    assert streamed.count() == batch.count() > 0
+    assert streamed.exceptAll(batch).count() == 0
+
+
 def test_stream_kg_from_warc_drop_dir(spark, tmp_path):
     """Live-crawl shape end to end: .warc.gz members in a drop
     directory -> streaming WARC parse -> fused linking (NULL lang, no
