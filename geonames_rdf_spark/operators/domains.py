@@ -226,8 +226,10 @@ def cap_per_domain(pages: DataFrame, max_docs: int,
     domain count, tens of millions of domains at web scale with a small
     cap.  So the broadcast is DATA-DRIVEN, the same pre-flight
     discipline as ``pack_sequences``' group guard: the per-domain count
-    aggregate (persisted — it is dimension-sized and feeds four
-    subtrees) yields the over/window/big set sizes in one action, and
+    aggregate (persisted for the pre-flight ONLY, always released
+    before returning — r08; the four consuming subtrees are re-pointed
+    at a collected local relation or a lineage-truncated checkpoint)
+    yields the over/window/big set sizes in one action, and
     each join is hinted broadcast only when its set fits
     ``broadcast_max_domains``; above that the join is left unhinted —
     a shuffle join that scales, which AQE still converts to broadcast

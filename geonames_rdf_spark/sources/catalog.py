@@ -310,7 +310,7 @@ def last_committed_epoch(path: str) -> int:
 
 
 def _commit_pointer(path: str, v: int) -> None:
-    """MONOTONIC pointer swap: the mkdir claim serializes version
+    """MONOTONIC pointer swap: the rename claim serializes version
     NUMBERS, not commit ORDER.  If the writer holding v=N+1 commits
     first, a later os.replace from the v=N writer must not move the
     pointer backwards (that would silently discard the newer snapshot
