@@ -1147,6 +1147,37 @@ def test_registered_domain_duck_parity(spark, duck):
     assert dom[29] == "site.org.bd"
 
 
+def _registered_domain_py_ref(url):
+    """Third, pure-Python rendering of the registered-domain rule —
+    shared by the generated three-way sweep and the hypothesis fuzz."""
+    import re as _re
+
+    from geonames_rdf_spark.operators.psl_snapshot import (
+        EXCEPTION2, SUFFIX2, SUFFIX3, WILDCARD_TLD)
+
+    if url is None:
+        return None
+    m = _re.match(r"^[^/?#]*//(?:[^/?#@]*@)?(\[[^\]/?#]*\]|[^/?#:]+)",
+                  url)
+    host = m.group(1).lower() if m and m.group(1) else None
+    if not host:
+        return None
+    labels = host.split(".")
+    n = len(labels)
+    if (n <= 2 or _re.fullmatch(r"\d+\.\d+\.\d+\.\d+", host)
+            or host.startswith("[")):
+        return host
+    if ".".join(labels[-2:]) in EXCEPTION2:
+        return ".".join(labels[-2:])
+    if labels[-1] in WILDCARD_TLD:
+        return ".".join(labels[-3:])
+    if n > 3 and ".".join(labels[-3:]) in SUFFIX3:
+        return ".".join(labels[-4:])
+    if ".".join(labels[-2:]) in SUFFIX2:
+        return ".".join(labels[-3:])
+    return ".".join(labels[-2:])
+
+
 def test_registered_domain_three_way_parity_generated(spark, duck):
     """Third-implementation parity sweep over the WHOLE pinned PSL
     snapshot shape: a pure-Python rendering of the suffix rule vs the
@@ -1162,28 +1193,7 @@ def test_registered_domain_three_way_parity_generated(spark, duck):
     from geonames_rdf_spark.operators.psl_snapshot import (
         EXCEPTION2, SUFFIX2, SUFFIX3, WILDCARD_TLD)
 
-    def py_ref(url):
-        if url is None:
-            return None
-        m = _re.match(r"^[^/?#]*//(?:[^/?#@]*@)?(\[[^\]/?#]*\]|[^/?#:]+)",
-                      url)
-        host = m.group(1).lower() if m and m.group(1) else None
-        if not host:
-            return None
-        labels = host.split(".")
-        n = len(labels)
-        if (n <= 2 or _re.fullmatch(r"\d+\.\d+\.\d+\.\d+", host)
-                or host.startswith("[")):
-            return host
-        if ".".join(labels[-2:]) in EXCEPTION2:
-            return ".".join(labels[-2:])
-        if labels[-1] in WILDCARD_TLD:
-            return ".".join(labels[-3:])
-        if n > 3 and ".".join(labels[-3:]) in SUFFIX3:
-            return ".".join(labels[-4:])
-        if ".".join(labels[-2:]) in SUFFIX2:
-            return ".".join(labels[-3:])
-        return ".".join(labels[-2:])
+    py_ref = _registered_domain_py_ref
 
     urls: list[str | None] = []
     for suf in list(SUFFIX2)[::37] + list(SUFFIX3)[::11]:
@@ -1224,6 +1234,45 @@ def test_registered_domain_three_way_parity_generated(spark, duck):
         d = got_duck[i]
         d = None if (d is None or d != d) else d  # pandas NaN -> None
         assert d == want, (u, d, want)
+
+
+try:
+    from hypothesis import given as _given
+    from hypothesis import settings as _settings
+    from hypothesis import strategies as _st
+
+    _URL_ALPHABET = ("abcdefghijklmnopqrstuvwxyz" "ABCDEFGHIJKLMNO"
+                     "0123456789" "./:@[]#?%-_~!$&'()*+,;=\\ ")
+
+    @_settings(max_examples=200, deadline=None)
+    @_given(u=_st.one_of(
+        _st.text(alphabet=_URL_ALPHABET, max_size=60),
+        _st.builds(lambda scheme, body: scheme + body,
+                   _st.sampled_from(["http://", "https://", "ftp://",
+                                     "//", ""]),
+                   _st.text(alphabet=_URL_ALPHABET, max_size=50)),
+    ))
+    def test_registered_domain_fuzz_duck_vs_py(duck, u):
+        """Structural fuzz over adversarial ASCII url shapes (stray
+        brackets, repeated @, empty labels, colons everywhere): the
+        DuckDB rendering of the registered-domain rule must agree with
+        the pure-Python reference on EVERY input — the fixed sweeps
+        cover the snapshot's shape, this covers RE2-vs-Python regex
+        semantics on garbage (the parser must degrade identically, not
+        just on well-formed urls).  Spark-side parity rides the
+        deterministic sweep (a Spark job per hypothesis example would
+        be prohibitive; the Spark and DuckDB renderings are generated
+        from the SAME tables, so duck==py plus sweep-parity pins all
+        three)."""
+        from geonames_rdf_spark.operators import domains
+
+        got = duck.execute(
+            "SELECT " + domains.domain_oracle_expr("url")
+            + " AS d FROM (SELECT CAST(? AS VARCHAR) AS url)", [u]
+        ).fetchone()[0]
+        assert got == _registered_domain_py_ref(u), (u, got)
+except ImportError:  # pragma: no cover - hypothesis is baked in here
+    pass
 
 
 def test_cap_per_domain_and_stats(spark):
