@@ -167,11 +167,17 @@ DEFAULT_WINDOW_MAX_ROWS = 10_000_000
 #: hashed-relation overhead ≈ low hundreds of MB, comfortably inside a
 #: production driver/executor; above the bound the joins are left
 #: unhinted (AQE still converts at runtime if the set turns out small).
-#: Measured at sandbox scale the shuffle fallback costs ~1.1x the
-#: broadcast plan on a 2M-over-cap-domain corpus (8.7 s hinted vs 9.4 s
-#: unhinted, 6M rows, scripts/domain_cap_ab.py --broadcast-ab) — a
-#: fixed-factor premium, not a cliff, which is the right trade against
-#: an unbounded forced broadcast.
+#: Measured at sandbox scale (scripts/domain_cap_ab.py --broadcast-ab,
+#: 2M over-cap domains / 6M rows): r07's in-place-persist design put
+#: the shuffle fallback at ~1.1x the hinted plan (9.4 vs 8.7 s); under
+#: the r08 leak-free design the forced-broadcast leg additionally pays
+#: the driver round-trip (18.3 s vs 11.2 s unhinted at 2x the bound —
+#: re-measured r08), so above the bound the unhinted route is now
+#: strictly better, which is exactly the route the bound selects.  At
+#: or below the bound the Arrow pull + local-relation rebuild costs a
+#: few seconds at the 1M worst case (measured 1.2 s + 3.4 s) in
+#: exchange for zero cache residue — amortized over every downstream
+#: consumer of the routed plan.
 DEFAULT_BROADCAST_MAX_DOMAINS = 1_000_000
 
 
@@ -268,7 +274,7 @@ def cap_per_domain(pages: DataFrame, max_docs: int,
             # the over-cap set fits the broadcast bound, so it is by
             # definition driver-sized: pull it once (Arrow batch — at
             # the 1M-domain bound a row-wise collect would cost minutes
-            # of py4j serialization, toPandas is sub-second) and rebuild
+            # of py4j serialization, toPandas measures 1.2 s) and rebuild
             # the three route sets as local-relation frames — zero cache
             # residue, zero re-aggregation in the consuming subtrees
             spark = pages.sparkSession
