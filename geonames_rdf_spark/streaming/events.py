@@ -478,6 +478,76 @@ def compact_stream_kg(spark: SparkSession, out_dir: str) -> None:
     shutil.rmtree(old, ignore_errors=True)
 
 
+def stream_dedup_exact(
+    stream: DataFrame,
+    key_cols: list[str],
+    ts_col: str | None = None,
+    within: str | None = None,
+) -> DataFrame:
+    """Exact dedup ON INGEST: keep each key's first-seen row across
+    micro-batches, dropping re-crawls/re-deliveries before they ever
+    reach storage — the streaming twin of ``dedup.exact_dups``.  Pure
+    built-ins: Spark's streaming ``dropDuplicates`` keeps per-key state
+    in the state store (first batch containing a key wins; later
+    arrivals are dropped), so there is no custom stateful operator to
+    maintain.
+
+    State sizing — the reason for ``within`` (10^12-page scale): the
+    unbounded variant's state is one entry per DISTINCT key forever,
+    which is corpus-sized — fine for a bounded backfill, wrong for a
+    perpetual crawl ingest.  ``within='7 days'`` (with ``ts_col``)
+    switches to ``dropDuplicatesWithinWatermark``: a duplicate is
+    dropped only if it arrives within the watermark delay of the
+    first sighting, and the state store EVICTS keys once the watermark
+    passes them — state is bounded by (ingest rate x window), not by
+    corpus size.  That trade (re-crawls separated by more than the
+    window are re-admitted, collapsing later at the batch dedup layer)
+    is exactly how production ingest dedup bounds itself.  Key on a
+    digest (``F.md5(text)``), not the text — state entries then carry
+    ~32 bytes, not documents.
+    """
+    if within is not None:
+        if ts_col is None:
+            raise ValueError("within (bounded-state dedup) requires"
+                             " ts_col: the watermark needs an event-time"
+                             " column to evict state against")
+        return (stream.withWatermark(ts_col, within)
+                .dropDuplicatesWithinWatermark(key_cols))
+    return stream.dropDuplicates(key_cols)
+
+
+def run_stream_ingest_dedup(
+    spark: SparkSession,
+    warc_dir: str,
+    out_dir: str,
+    within: str | None = None,
+    max_files_per_trigger: int | None = None,
+):
+    """Crawl-drop ingest with content dedup BEFORE storage: ``.warc.gz``
+    members -> streaming WARC parse -> ``md5(html)`` content key (raw
+    response bytes — byte-identity, no extraction needed at ingest) ->
+    ``stream_dedup_exact`` (bounded by ``within`` when given, keyed on
+    ``warc_ts``) -> append parquet sink.  A re-crawled page body never
+    lands twice, so every downstream consumer (the KG build, the
+    curation pipeline) reads a pre-deduped corpus instead of each
+    paying the dedup shuffle itself."""
+    from geonames_rdf_spark.sources.warc import read_warc_stream
+
+    pages = read_warc_stream(
+        spark, warc_dir, max_files_per_trigger=max_files_per_trigger)
+    deduped = stream_dedup_exact(
+        pages.withColumn("_content_key", F.md5("html")),
+        ["_content_key"], ts_col="warc_ts", within=within)
+    return (
+        deduped.drop("_content_key")
+        .writeStream.format("parquet")
+        .option("path", f"{out_dir}/pages")
+        .option("checkpointLocation", f"{out_dir}/_checkpoint")
+        .outputMode("append")
+        .start()
+    )
+
+
 def run_stream_stateful_counts(
     spark: SparkSession,
     source_dir: str,

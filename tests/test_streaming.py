@@ -380,6 +380,123 @@ def test_stream_kg_catalog_append_exactly_once(spark, tmp_path):
     assert catalog.read_table_versioned(spark, table).count() == batch.count()
 
 
+def _drop_archive(df, drop_dir, name, tmp_path):
+    """Stage one single-member .warc.gz and land it in the drop dir
+    under a unique name (write_warc names files by partition id, so
+    two direct writes into the same dir would collide)."""
+    import os
+    import shutil as _sh
+
+    from geonames_rdf_spark.sources import warc
+
+    stage = str(tmp_path / f"_stage_{name}")
+    warc.write_warc(df.coalesce(1), stage)
+    (member,) = [f for f in os.listdir(stage) if f.endswith(".warc.gz")]
+    os.makedirs(drop_dir, exist_ok=True)
+    _sh.move(os.path.join(stage, member),
+             os.path.join(drop_dir, f"{name}.warc.gz"))
+
+
+def test_stream_ingest_dedup_unbounded_equals_batch(spark, tmp_path):
+    """Streaming ingest dedup (built-in dropDuplicates state): pages
+    re-delivered in a LATER archive with identical bytes are dropped
+    before storage; the stored corpus equals the batch
+    dropDuplicates-on-md5(html) of everything that landed."""
+    from pyspark.sql import Window
+
+    from geonames_rdf_spark.operators import build
+    from geonames_rdf_spark.pipeline import corpus
+    from geonames_rdf_spark.sources import warc
+
+    feats = build.gazetteer_tables(spark, SF)["features"]
+    pages = corpus.synthesize_pages(
+        spark, corpus.gazetteer_surfaces(feats), 40)
+    numbered = pages.withColumn(
+        "_rn", F.row_number().over(Window.orderBy("url")))
+    # materialize both slices BEFORE the stream starts: the archives are
+    # fixed input files, and no window plan runs after the stateful query
+    # (whose AQE-off cloned conf otherwise poisons a later WindowExec job
+    # in this session — Spark quirk, irrelevant to what's under test)
+    numbered.write.parquet(str(tmp_path / "slices"))
+    sliced = spark.read.parquet(str(tmp_path / "slices"))
+    a = sliced.filter("_rn <= 30").drop("_rn")
+    b = sliced.filter("_rn > 20").drop("_rn")  # rows 21-30 re-delivered
+
+    drop = str(tmp_path / "ingest_drop")
+    out = str(tmp_path / "ingest_out")
+    _drop_archive(a, drop, "a", tmp_path)
+    q = ev.run_stream_ingest_dedup(spark, drop, out)
+    try:
+        q.processAllAvailable()
+        _drop_archive(b, drop, "b", tmp_path)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    stored = spark.read.parquet(f"{out}/pages")
+    batch = (warc.read_warc(spark, drop + "/*.warc.gz")
+             .withColumn("_k", F.md5("html")).dropDuplicates(["_k"])
+             .drop("_k"))
+    assert stored.count() == batch.count() == 40
+
+    # row-level equality via collected keys (40 rows; exceptAll over
+    # the mapInPandas WARC source trips INTERNAL_ERROR_ATTRIBUTE_NOT_
+    # FOUND in this Spark build — engine quirk, not under test)
+    def keyed(df):
+        return sorted(
+            (r["url"], r["k"], str(r["warc_ts"]))
+            for r in df.select("url", F.md5("html").alias("k"),
+                               "warc_ts").collect())
+
+    assert keyed(stored) == keyed(batch)
+
+
+def test_stream_ingest_dedup_watermark_bounds_state(spark, tmp_path):
+    """within='1 hour' switches to dropDuplicatesWithinWatermark: a
+    near-in-time re-delivery is still dropped, but once the watermark
+    passes a key's window the state EVICTS it and a much-later
+    re-crawl is re-admitted — bounded state (ingest rate x window,
+    never corpus-sized), the 10^12-page operating mode."""
+    from datetime import datetime as dt
+
+    near = b"<html>near-dup body</html>"
+    far = b"<html>far-apart body</html>"
+    filler = b"<html>watermark pusher</html>"
+    rows1 = [
+        ("http://x.org/far", dt(2026, 1, 1, 10, 0, 0), far),
+        ("http://x.org/near", dt(2026, 1, 1, 12, 50, 0), near),
+        ("http://x.org/fill", dt(2026, 1, 1, 13, 0, 0), filler),
+    ]
+    rows2 = [
+        ("http://y.org/near2", dt(2026, 1, 1, 12, 55, 0), near),  # dropped
+        ("http://y.org/far2", dt(2026, 1, 1, 13, 30, 0), far),    # re-admitted
+    ]
+    schema = "url string, warc_ts timestamp, html binary"
+    drop = str(tmp_path / "wm_drop")
+    out = str(tmp_path / "wm_out")
+    _drop_archive(spark.createDataFrame(rows1, schema), drop, "a", tmp_path)
+    q = ev.run_stream_ingest_dedup(spark, drop, out, within="1 hour")
+    try:
+        q.processAllAvailable()  # watermark advances to 12:00
+        _drop_archive(spark.createDataFrame(rows2, schema), drop, "b",
+                      tmp_path)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    from pyspark.sql import functions as F
+
+    got = {r["url"]: r for r in
+           spark.read.parquet(f"{out}/pages").collect()}
+    # far body @10:00 expired from state (watermark 12:00 > 11:00), so
+    # its 13:30 re-crawl is re-admitted; the 12:55 near-dup of the
+    # 12:50 body is inside the window and dropped
+    assert set(got) == {"http://x.org/far", "http://x.org/near",
+                        "http://x.org/fill", "http://y.org/far2"}
+    n_far = len({u for u in got if got[u]["html"] == bytearray(far)})
+    assert n_far == 2  # both sightings of the far-apart body stored
+
+
 def test_stream_kg_catalog_inline_compaction_opt_in(spark, tmp_path):
     """run_stream_kg_catalog(max_chain=2): the opt-in inline compaction
     keeps reader fan-out bounded at 2 roots across the soak, preserves
