@@ -3,16 +3,18 @@
 Two decode tiers:
 
 - **Real decoders for stdlib-decodable containers** (numpy/struct/zlib —
-  no codec library needed): PPM (P6) and PNG (zlib inflate + the five
-  per-scanline filters, gray/RGB/RGBA 8-bit non-interlaced) images with
-  nearest-neighbour resize, WAV (PCM16 mono) audio with
+  no codec library needed): PPM (P6), PNG (zlib inflate + the five
+  per-scanline filters, gray/RGB/RGBA 8-bit non-interlaced) and GIF
+  (r08 — full variable-width LZW with Clear resets and the KwKwK case;
+  a genuinely COMPRESSED codec implemented from the published format)
+  images with nearest-neighbour resize, WAV (PCM16 mono) audio with
   RMS/zero-crossing features, and a raw frame-stack "video" container
   with frame sampling.  These exercise the FULL path — bytes ->
   pixels/samples -> features — end to end.
-- **Entropy-coded codecs (jpeg/opus/av1) are STUBS**: no codec libraries
-  ship in this container, so ``extract_features(fake=False)`` raises
-  ``NotImplementedError`` for them; a deployment plugs its decoder into
-  the same batch contract.
+- **Transform-entropy codecs (jpeg/opus/av1) are STUBS**: no codec
+  libraries ship in this container, so ``extract_features(fake=False)``
+  raises ``NotImplementedError`` for them; a deployment plugs its
+  decoder into the same batch contract.
 
 The Spark-side plumbing — schema, media-type dispatch, ``mapInPandas``
 batch shape, partition-preserving feature extraction — is identical for
@@ -86,10 +88,14 @@ def synth_raw_media(spark, n: int = 24) -> DataFrame:
                     h, w = 8 + i % 8, 8 + (i * 3) % 8
                     px = ((np.arange(h * w * 3) * (i + 7)) % 256
                           ).astype(np.uint8).reshape(h, w, 3)
-                    if i % 2:  # alternate containers: raw PPM / real PNG
+                    # rotate containers: raw PPM / real PNG / real GIF
+                    if i % 3 == 1:
                         filters = [(i + y) % 5 for y in range(h)]
                         payload = encode_png(px, filters=filters)
                         meta = (w, h, None, "png")
+                    elif i % 3 == 2:
+                        payload = encode_gif(px)
+                        meta = (w, h, None, "gif")
                     else:
                         payload, meta = encode_ppm(px), (w, h, None, "ppm")
                 elif mt == "audio":
@@ -285,6 +291,169 @@ def decode_png(payload: bytes):
     return px[:, :, :3]
 
 
+def encode_gif(pixels) -> bytes:
+    """GIF89a bytes from a (h, w, 3) uint8 array with <=256 distinct
+    colors (single frame, global palette, non-interlaced) — a REAL
+    compressed codec implemented from the published format: variable-
+    width LZW (3..12-bit codes, Clear/EOI, width growth at dictionary
+    fill), not a container passthrough.  >256-color inputs raise (this
+    is the format's own limit; quantization is a modeling choice the
+    caller must make, not something to do silently)."""
+    import numpy as np
+
+    h, w = pixels.shape[0], pixels.shape[1]
+    flat = pixels.reshape(-1, 3)
+    palette, inverse = np.unique(flat, axis=0, return_inverse=True)
+    n_colors = len(palette)
+    if n_colors > 256:
+        raise ValueError(
+            f"encode_gif: {n_colors} distinct colors > the format's 256-"
+            "entry palette; quantize explicitly first")
+    # palette size field: 2^(size+1) entries, >= max(n_colors, 4)
+    size_field = max(1, (max(n_colors, 2) - 1).bit_length() - 1)
+    table_n = 1 << (size_field + 1)
+    table = np.zeros((table_n, 3), dtype=np.uint8)
+    table[:n_colors] = palette
+    mcs = max(2, size_field + 1)  # LZW minimum code size
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+
+    # LZW compress the index stream (dict maps (prefix_code, k) -> code)
+    out_bits = bytearray()
+    acc = n_acc = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, n_acc
+        acc |= code << n_acc
+        n_acc += width
+        while n_acc >= 8:
+            out_bits.append(acc & 0xFF)
+            acc >>= 8
+            n_acc -= 8
+
+    width = mcs + 1
+    nxt = eoi + 1
+    dic: dict[tuple[int, int], int] = {}
+    emit(clear, width)
+    idx = inverse.astype(np.int64)
+    cur = int(idx[0])
+    for k in map(int, idx[1:]):
+        if (cur, k) in dic:
+            cur = dic[(cur, k)]
+            continue
+        emit(cur, width)
+        dic[(cur, k)] = nxt
+        nxt += 1
+        if nxt - 1 == (1 << width) and width < 12:
+            width += 1
+        elif nxt - 1 == (1 << 12):
+            emit(clear, width)
+            dic.clear()
+            nxt = eoi + 1
+            width = mcs + 1
+        cur = k
+    emit(cur, width)
+    emit(eoi, width)
+    if n_acc:
+        out_bits.append(acc & 0xFF)
+
+    blocks = bytearray()
+    for off in range(0, len(out_bits), 255):
+        chunk = out_bits[off:off + 255]
+        blocks.append(len(chunk))
+        blocks.extend(chunk)
+    blocks.append(0)  # block terminator
+
+    lsd_packed = 0x80 | (7 << 4) | size_field  # global table, 8-bit res
+    return (b"GIF89a"
+            + struct.pack("<HHBBB", w, h, lsd_packed, 0, 0)
+            + table.tobytes()
+            + b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+            + bytes([mcs]) + bytes(blocks)
+            + b"\x3b")
+
+
+def decode_gif(payload: bytes):
+    """(h, w, 3) uint8 array from single-frame GIF87a/89a bytes (global
+    palette, non-interlaced): full variable-width LZW decode including
+    Clear-code dictionary resets and the deferred first-code case."""
+    import numpy as np
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    w, h, packed, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+    pos = 13
+    if not packed & 0x80:
+        raise ValueError("decode_gif: no global color table")
+    table_n = 2 << (packed & 0x07)
+    palette = np.frombuffer(
+        payload[pos:pos + table_n * 3], dtype=np.uint8).reshape(-1, 3)
+    pos += table_n * 3
+    # skip extension blocks (0x21 <label> <sub-blocks...0>)
+    while payload[pos] == 0x21:
+        pos += 2
+        while payload[pos]:
+            pos += 1 + payload[pos]
+        pos += 1
+    if payload[pos] != 0x2C:
+        raise ValueError("decode_gif: image descriptor not found")
+    _l, _t, iw, ih, ipacked = struct.unpack("<HHHHB", payload[pos + 1:pos + 10])
+    pos += 10
+    if ipacked & 0xC0:
+        raise ValueError("decode_gif: local tables/interlace unsupported")
+    mcs = payload[pos]
+    pos += 1
+    data = bytearray()
+    while payload[pos]:
+        n = payload[pos]
+        data.extend(payload[pos + 1:pos + 1 + n])
+        pos += 1 + n
+
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    acc = n_acc = bitpos = 0
+    width = mcs + 1
+    seqs: list[bytes] = [bytes([i]) for i in range(1 << mcs)] + [b"", b""]
+    out = bytearray()
+    prev: bytes | None = None
+
+    def read_code() -> int:
+        nonlocal acc, n_acc, bitpos
+        while n_acc < width:
+            if bitpos >= len(data):
+                return eoi
+            acc |= data[bitpos] << n_acc
+            bitpos += 1
+            n_acc += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        n_acc -= width
+        return code
+
+    while True:
+        code = read_code()
+        if code == eoi:
+            break
+        if code == clear:
+            seqs = seqs[: (1 << mcs) + 2]
+            width = mcs + 1
+            prev = None
+            continue
+        if prev is None:
+            entry = seqs[code]
+        elif code < len(seqs):
+            entry = seqs[code]
+            seqs.append(prev + entry[:1])
+        else:  # the KwKwK case: code == len(seqs)
+            entry = prev + prev[:1]
+            seqs.append(entry)
+        out.extend(entry)
+        prev = entry
+        if len(seqs) == (1 << width) and width < 12:
+            width += 1
+
+    idx = np.frombuffer(bytes(out[: iw * ih]), dtype=np.uint8)
+    return palette[idx].reshape(ih, iw, 3).copy()
+
+
 def encode_wav_pcm16(samples, rate: int = 16000) -> bytes:
     """Minimal RIFF/WAVE mono PCM16 container from an int16 array."""
     data = samples.astype("<i2").tobytes()
@@ -341,6 +510,8 @@ def decode_features(media_type: str, payload: bytes,
         return image_features(decode_ppm(payload))
     if media_type == "image" and codec == "png":
         return image_features(decode_png(payload))
+    if media_type == "image" and codec == "gif":
+        return image_features(decode_gif(payload))
     if media_type == "audio" and codec == "pcm16":
         return audio_features(decode_wav_pcm16(payload)[0])
     if media_type == "video" and codec == "rawframes":

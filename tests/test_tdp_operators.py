@@ -381,6 +381,65 @@ def test_multimodal_real_decode_end_to_end(spark):
         r["media_id"]: r["feature"] for r in again}
 
 
+def test_multimodal_gif_roundtrip_and_feature_parity():
+    """GIF LZW codec: decode(encode(px)) == px including the clear-reset
+    path (an image big enough to overflow the 4096-entry dictionary),
+    the palette-format edge (1 distinct color), and the >256-color
+    refusal; identical pixels through GIF and PPM yield identical
+    features (the codec is invisible to the feature layer)."""
+    import numpy as np
+    import pytest as _pt
+
+    px = (np.arange(9 * 7 * 3) % 256).astype(np.uint8).reshape(9, 7, 3)
+    assert (multimodal.decode_gif(multimodal.encode_gif(px)) == px).all()
+    # 1-color image (minimum palette / minimum code size branch)
+    flat = np.full((3, 4, 3), 7, dtype=np.uint8)
+    assert (multimodal.decode_gif(multimodal.encode_gif(flat)) == flat).all()
+    # dictionary overflow -> encoder emits Clear, decoder resets
+    rng = np.random.default_rng(5)
+    pal = rng.integers(0, 256, size=(256, 3), dtype=np.uint8)
+    big = pal[rng.integers(0, 256, size=(90, 90))]
+    assert (multimodal.decode_gif(multimodal.encode_gif(big)) == big).all()
+    # the format's own palette limit is enforced, never silently quantized
+    many = np.arange(17 * 16 * 3, dtype=np.int64) % 255
+    many = (many + np.arange(17 * 16 * 3) // 255).astype(np.uint8) \
+        .reshape(17, 16, 3)
+    if len(np.unique(many.reshape(-1, 3), axis=0)) > 256:
+        with _pt.raises(ValueError, match="256"):
+            multimodal.encode_gif(many)
+    # codec-invisibility: same pixels, same features
+    assert (multimodal.image_features(
+        multimodal.decode_gif(multimodal.encode_gif(px)))
+        == multimodal.image_features(
+            multimodal.decode_ppm(multimodal.encode_ppm(px))))
+
+
+try:
+    from hypothesis import given as _g2
+    from hypothesis import settings as _s2
+    from hypothesis import strategies as _st2
+
+    @_s2(max_examples=80, deadline=None)
+    @_g2(h=_st2.integers(min_value=1, max_value=14),
+         w=_st2.integers(min_value=1, max_value=14),
+         ncol=_st2.integers(min_value=1, max_value=256),
+         seed=_st2.integers(min_value=0, max_value=2**31 - 1))
+    def test_gif_roundtrip_property(h, w, ncol, seed):
+        """decode(encode(px)) == px for every shape/palette-size/content
+        combination — the variable-width LZW boundaries (code-width
+        growth points, KwKwK self-reference, sub-block splits) must be
+        exact at every dictionary size, which hand-picked fixtures
+        cannot sweep."""
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        pal = rng.integers(0, 256, size=(ncol, 3), dtype=np.uint8)
+        px = pal[rng.integers(0, ncol, size=(h, w))]
+        assert (multimodal.decode_gif(multimodal.encode_gif(px)) == px).all()
+except ImportError:  # pragma: no cover - hypothesis is baked in here
+    pass
+
+
 def test_multimodal_decode_roundtrip_and_resize():
     import numpy as np
 
