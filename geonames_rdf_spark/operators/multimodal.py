@@ -298,7 +298,15 @@ def encode_gif(pixels) -> bytes:
     width LZW (3..12-bit codes, Clear/EOI, width growth at dictionary
     fill), not a container passthrough.  >256-color inputs raise (this
     is the format's own limit; quantization is a modeling choice the
-    caller must make, not something to do silently)."""
+    caller must make, not something to do silently).
+
+    Verification honesty: round-trips are property-swept (shape x
+    palette x content, incl. dictionary-overflow Clear resets), and
+    the width-growth convention matches the published algorithm
+    (grow when the next assignable code reaches 2^width); but no
+    reference GIF decoder ships in this container, so cross-decoder
+    interop is argued from the spec, not measured — the same caveat
+    as every vendored-format reader here."""
     import numpy as np
 
     h, w = pixels.shape[0], pixels.shape[1]
