@@ -88,12 +88,14 @@ def synth_raw_media(spark, n: int = 24) -> DataFrame:
                     h, w = 8 + i % 8, 8 + (i * 3) % 8
                     px = ((np.arange(h * w * 3) * (i + 7)) % 256
                           ).astype(np.uint8).reshape(h, w, 3)
-                    # rotate containers: raw PPM / real PNG / real GIF
-                    if i % 3 == 1:
+                    # rotate containers: raw PPM / real PNG / real GIF.
+                    # images exist only at i % 3 == 0, so the container
+                    # term must be independent of that modulus
+                    if (i // 3) % 3 == 1:
                         filters = [(i + y) % 5 for y in range(h)]
                         payload = encode_png(px, filters=filters)
                         meta = (w, h, None, "png")
-                    elif i % 3 == 2:
+                    elif (i // 3) % 3 == 2:
                         payload = encode_gif(px)
                         meta = (w, h, None, "gif")
                     else:

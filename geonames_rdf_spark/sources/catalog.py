@@ -44,6 +44,7 @@ import json
 import os
 import shutil
 import tempfile
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -232,6 +233,21 @@ def write_table_versioned(
             df.sparkSession, path, snapshot=parents[0]).unionByName(df)
         parents = []
 
+    if base is not None:
+        # fail fast BEFORE paying the staged write when the target
+        # version is already committed (non-empty dir).  An EMPTY v=N
+        # dir — a dead claim from the pre-r08 mkdir protocol — is left
+        # for the rename below to reclaim; the rename stays the
+        # authoritative atomic claim either way.
+        try:
+            if os.listdir(os.path.join(path, f"v={base + 1}")):
+                raise CommitConflict(
+                    f"snapshot v={base + 1} already committed: another"
+                    f" writer won base {base} — re-read the current"
+                    " snapshot and retry")
+        except FileNotFoundError:
+            pass
+
     staging = tempfile.mkdtemp(dir=path, prefix=_STAGING_PREFIX)
     try:
         w = df.write.mode("overwrite")
@@ -350,7 +366,8 @@ def read_table_versioned(spark: SparkSession, path: str,
     return spark.read.parquet(*dirs)
 
 
-def expire_snapshots(path: str, keep: int = 2) -> list[int]:
+def expire_snapshots(path: str, keep: int = 2,
+                     orphan_ttl_s: float = 3600.0) -> list[int]:
     """Retire all but the newest ``keep`` snapshots (never the current
     one, never a version REFERENCED by a surviving snapshot's append
     chain — deleting a referenced ancestor would corrupt a live
@@ -362,12 +379,22 @@ def expire_snapshots(path: str, keep: int = 2) -> list[int]:
     Also sweeps dead ``_staging_*`` directories — the only residue a
     crashed writer can leave under the r08 stage-then-rename protocol
     (readers never see them; this is Iceberg's ``remove_orphan_files``).
-    Run maintenance with no writers in their staging window, the same
-    operational contract as the real procedure."""
+    Like the real procedure, the sweep applies an age cutoff
+    (``orphan_ttl_s``, default 1 h by mtime): a LIVE writer mid-write
+    has a fresh staging dir, so maintenance racing it deletes nothing
+    — a contract violation fails safe instead of silently committing a
+    snapshot with part-files missing."""
     if os.path.isdir(path):
+        cutoff = time.time() - orphan_ttl_s
         for d in os.listdir(path):
             if d.startswith(_STAGING_PREFIX):
-                shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+                full = os.path.join(path, d)
+                try:
+                    if os.path.getmtime(full) > cutoff:
+                        continue  # possibly a live writer's window
+                except OSError:
+                    continue  # vanished mid-scan: a writer renamed it
+                shutil.rmtree(full, ignore_errors=True)
     cur = current_snapshot(path)
     versions = table_snapshots(path)
     survivors = set(versions[-keep:]) | ({cur} if cur is not None else set())

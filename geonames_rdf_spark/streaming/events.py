@@ -321,8 +321,6 @@ def _checkpoint_max_batch(checkpoint_dir: str) -> int:
     checkpoint's ``offsets/`` log (-1 when absent/empty).  Spark writes
     the offset file BEFORE processing a batch, so this is the high
     watermark of epochs the checkpoint can ever re-deliver."""
-    import os
-
     offsets = os.path.join(checkpoint_dir, "offsets")
     try:
         ids = [int(f) for f in os.listdir(offsets) if f.isdigit()]

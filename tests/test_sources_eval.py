@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import time
+
 from pyspark.sql import functions as F
 
 from geonames_rdf_spark import evaluation, synth
@@ -264,7 +266,8 @@ def test_versioned_catalog_chain_bound_and_crash_residue(spark, tmp_path):
     assert catalog.read_table_versioned(spark, path).count() == 5 + n_appends
 
     # (2) crashed writer residue: a staging dir neither blocks commits
-    # nor shows up as a snapshot; expire sweeps it
+    # nor shows up as a snapshot; expire sweeps it ONLY past the orphan
+    # TTL (a fresh dir may be a live writer mid-write — r08 review)
     dead = os.path.join(path, catalog._STAGING_PREFIX + "dead")
     os.makedirs(os.path.join(dead, "part"), exist_ok=True)
     before = catalog.table_snapshots(path)
@@ -275,7 +278,11 @@ def test_versioned_catalog_chain_bound_and_crash_residue(spark, tmp_path):
         append=True, base=base)
     assert v == base + 1
     catalog.expire_snapshots(path, keep=10_000)
-    assert not os.path.isdir(dead)
+    assert os.path.isdir(dead)  # fresh: inside the live-writer window
+    stale = time.time() - 7200
+    os.utime(dead, (stale, stale))
+    catalog.expire_snapshots(path, keep=10_000)
+    assert not os.path.isdir(dead)  # past the TTL: swept
 
     # (3) dead EMPTY claim on the next version: reclaimed, not fatal
     cur = catalog.current_snapshot(path)

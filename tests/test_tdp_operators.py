@@ -366,6 +366,12 @@ def test_multimodal_real_decode_end_to_end(spark):
     PPM pixels, WAV PCM samples, raw frame-stacks — bytes to features
     with no codec library."""
     media = multimodal.synth_raw_media(spark, 24)
+    # the container rotation must actually fire for all three image
+    # codecs (r08 review: a rotation keyed on the media-type modulus
+    # silently produced PPM-only images)
+    codecs = {r["meta"]["codec"] for r in media.collect()
+              if r["media_type"] == "image"}
+    assert {"ppm", "png", "gif"} <= codecs
     rows = multimodal.extract_features(media, fake=False).collect()
     assert len(rows) == 24
     assert all(len(r["feature"]) == multimodal.FEATURE_DIM for r in rows)
