@@ -136,7 +136,11 @@ def q_subdivision_edges(triples: DataFrame, root_uri: str) -> DataFrame:
             "subjectLabel": vocab.GN_NAME,
         },
     )
-    names = entity_table(triples, {"objectLabel": vocab.GN_NAME})
+    # the object label is the SAME per-subject max-name aggregate the
+    # entity table already computed — re-alias it instead of running a
+    # second full-table aggregation (one whole triple scan + exchange
+    # saved; identical values by construction)
+    names = e.select("subj", F.col("subjectLabel").alias("objectLabel"))
     return (
         e.join(desc, "subj", "left_semi")
         .filter(
@@ -269,27 +273,31 @@ def q_museums(triples: DataFrame, city_uri: str, limit: int = 100) -> DataFrame:
     geof:distance -> native haversine Column expression (no GeoSPARQL
     engine); distance rounded to whole metres for stable comparison.
     """
-    e = entity_table(
-        triples,
-        {
-            "parent": vocab.GN_PARENT_FEATURE,
-            "feature_code": vocab.GN_FEATURE_CODE,
-            "name": vocab.GN_NAME,
-            "latitude": vocab.WGS84_LAT,
-            "longitude": vocab.WGS84_LONG,
-        },
+    # the en-wikipedia link rides the SAME star aggregation as the other
+    # predicates (a conditional min next to the conditional maxes) — the
+    # former standalone wiki aggregate cost one extra full triple scan +
+    # exchange + left join for identical values (min over the when() is
+    # NULL exactly where the old left join produced NULL)
+    preds = {
+        "parent": vocab.GN_PARENT_FEATURE,
+        "feature_code": vocab.GN_FEATURE_CODE,
+        "name": vocab.GN_NAME,
+        "latitude": vocab.WGS84_LAT,
+        "longitude": vocab.WGS84_LONG,
+    }
+    t = triples.filter(
+        F.col("pred").isin(*preds.values(), vocab.GN_WIKIPEDIA_ARTICLE))
+    e = t.groupBy("subj").agg(
+        *[F.max(F.when(F.col("pred") == p, F.col("obj"))).alias(c)
+          for c, p in preds.items()],
+        F.min(F.when(
+            (F.col("pred") == vocab.GN_WIKIPEDIA_ARTICLE)
+            & F.col("obj").startswith("https://en.wikipedia.org"),
+            F.col("obj"))).alias("wikipediaArticle"),
     )
     city = e.filter(F.col("subj") == city_uri).select(
         F.col("latitude").cast("double").alias("city_lat"),
         F.col("longitude").cast("double").alias("city_long"),
-    )
-    wiki = (
-        triples.filter(
-            (F.col("pred") == vocab.GN_WIKIPEDIA_ARTICLE)
-            & F.col("obj").startswith("https://en.wikipedia.org")
-        )
-        .groupBy("subj")
-        .agg(F.min("obj").alias("wikipediaArticle"))
     )
     museums = (
         e.filter(
@@ -311,7 +319,6 @@ def q_museums(triples: DataFrame, city_uri: str, limit: int = 100) -> DataFrame:
                 0,
             ).cast("long"),
         )
-        .join(wiki, "subj", "left")
     )
     return museums.select(
         F.col("subj").alias("feature"), "name", "latitude", "longitude",
