@@ -88,7 +88,7 @@ def synthesize_pages(
     if partitions:
         base = base.repartition(partitions)
 
-    def gen(batches):
+    def gen_rowwise(batches):
         for pdf in batches:
             recs = []
             for i in pdf["id"].tolist():
@@ -99,8 +99,69 @@ def synthesize_pages(
             )
             yield out
 
+    def gen(batches):
+        # numpy-vectorized twin of ``page_fields``/``wrap_html`` (guide
+        # §4.2: batch work in native code, not per-row Python) — the _mix
+        # LCG, surface selection and string assembly run as array ops.
+        # Byte-identical output is pinned by
+        # test_pipeline.py::test_synthesize_pages_vectorized_parity.
+        import numpy as np
+
+        surf = np.array(surfaces, dtype=object)
+        hot_arr = np.array(hot, dtype=object)
+        langs = np.array(LANGS, dtype=object)
+        mask32 = np.uint64(0xFFFFFFFF)
+        mult = np.uint64(MIX)
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            u = ids.astype(np.uint64)
+            # name_j for j in 0..3 (n_mentions = 2 + i%3 <= 4)
+            names = []
+            for j in range(4):
+                h = (u * mult) & mask32                       # mix(i)
+                h = ((h ^ np.uint64(j)) * mult) & mask32      # mix(.., j)
+                r = ((h ^ np.uint64(17)) * mult) & mask32     # mix(.., 17)
+                pick_surf = surf[(r % np.uint64(len(surf))).astype(np.int64)]
+                if len(hot_arr):
+                    use_hot = (r % np.uint64(10)) < np.uint64(4)
+                    pick_hot = hot_arr[
+                        (r % np.uint64(len(hot_arr))).astype(np.int64)]
+                    names.append(np.where(use_hot, pick_hot, pick_surf))
+                else:
+                    names.append(pick_surf)
+            nm = 2 + (ids % 3)
+            m = names[0] + " and " + names[1]
+            m = np.where(nm >= 3, m + " and " + names[2], m)
+            m = np.where(nm >= 4, m + " and " + names[3], m)
+            i_str = ids.astype(str).astype(object)
+            lang = langs[ids % len(LANGS)]
+            text = np.empty(len(ids), dtype=object)
+            en = lang == "en"
+            de = lang == "de"
+            fr = lang == "fr"
+            text[en] = ("Page " + i_str[en] + " reports on " + m[en]
+                        + ". Officials said the plan was fine.")
+            text[de] = ("Seite " + i_str[de] + " berichtet ueber " + m[de]
+                        + ". Beamte nannten den Plan gut.")
+            text[fr] = ("La page " + i_str[fr] + " parle de " + m[fr]
+                        + ". Les autorites ont approuve le plan.")
+            url = "https://example.org/" + lang + "/page-" + i_str + ".html"
+            html = ("<html><head><title>Page " + i_str
+                    + "</title></head><body><p>" + text
+                    + "</p></body></html>")
+            yield pd.DataFrame({
+                "url": url,
+                "ts_epoch": EPOCH + ids,
+                "html": pd.Series(html).str.encode("utf-8"),
+                "text": text,
+                "lang": lang,
+            })
+
     df = base.mapInPandas(
-        gen, schema="url string, ts_epoch long, html binary, text string, lang string"
+        # empty surface list: keep the row-wise path so the error surface
+        # (ZeroDivisionError on the modulo) is unchanged
+        gen if surfaces else gen_rowwise,
+        schema="url string, ts_epoch long, html binary, text string, lang string"
     )
     return df.select(
         "url",

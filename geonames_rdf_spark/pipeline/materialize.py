@@ -116,11 +116,12 @@ def run_pipeline(
 ) -> PipelineStages:
     """Full web-scale KG construction over a synthesized corpus.
 
-    ``cache=True`` persists the dimension-sized feature table and the page
-    corpus: both feed multiple consumers (the surface-map collect + the
-    link scan; mention scan + the lang join).  On a real deployment the
-    corpus is a storage table — the re-read is pruned columnar IO — but a
-    generated corpus would otherwise be re-synthesized per consumer.
+    ``cache=True`` persists the dimension-sized feature table and the RAW
+    page corpus (html, no extracted text — extraction is fused into the
+    scan batches): both feed multiple consumers (the surface-map collect +
+    the link scan; mention scan + the lang join).  On a real deployment
+    the corpus is a storage table — the re-read is pruned columnar IO —
+    but a generated corpus would otherwise be re-synthesized per consumer.
     The caches are CALLER-owned: ``stages.unpersist()`` releases them
     when the consumer is done (repeated calls in a long-lived session
     would otherwise accumulate one features+pages cache pair per run).
@@ -136,14 +137,27 @@ def run_pipeline(
         tables["features"] = features
 
     surfaces = corpus.gazetteer_surfaces(features)
-    pages = corpus.synthesize_pages(spark, surfaces, n_pages)
-    # S1: recompute text from html (byte-identity invariant)
-    pages = extract.with_extracted_text(pages.drop("text").withColumn(
-        "text", F.lit(None).cast("string")))
+    # S1 (extraction) is FUSED into the scan batches below
+    # (``from_html=True`` — one Python/Arrow hop instead of two, guide
+    # §4.1: every extra chained pandas stage pays a full Arrow
+    # round-trip of the corpus); the raw synthesized text is dropped so
+    # extraction remains the only text source (byte-identity invariant
+    # unchanged — same ``extract.extract_text_py`` pure function runs
+    # inside the scan, equivalence test-pinned).  The cache then holds
+    # html only, not html + extracted text.
+    raw_pages = corpus.synthesize_pages(spark, surfaces, n_pages).drop("text")
     if cache:
-        pages = pages.cache()
+        raw_pages = raw_pages.cache()
 
     stages = PipelineStages({})
+
+    def mk_pages() -> DataFrame:
+        # the staged S1 output (url, warc_ts, html, lang, text) for
+        # consumers that want the extracted corpus itself; lazy, so
+        # pipelines consuming only linked/triples never run the separate
+        # extraction pass
+        return extract.with_extracted_text(
+            raw_pages.withColumn("text", F.lit(None).cast("string")))
 
     def mk_linked() -> DataFrame:
         # S3+S4 fused: broadcast matcher with scored candidates; mention
@@ -152,7 +166,8 @@ def run_pipeline(
         # (detect_mentions + link_mentions) remain available for scoring
         # features that cannot be broadcast; equivalence is test-pinned.
         linked = mentions.detect_and_link(
-            pages, mentions.build_scored_surface_map(features))
+            raw_pages, mentions.build_scored_surface_map(features),
+            from_html=True)
         if canonicalize_entities:
             # S5: sameAs clustering -> canonical-id rewrite of links
             from geonames_rdf_spark.pipeline import canonicalize
@@ -163,9 +178,11 @@ def run_pipeline(
         return linked
 
     def mk_mentions() -> DataFrame:
-        # candidate-level mention stream via the staged operator
+        # candidate-level mention stream via the staged operator (same
+        # fused extraction — identical match set, test-pinned)
         return mentions.detect_mentions(
-            pages, mentions.build_surface_map(features), carry_lang=True
+            raw_pages, mentions.build_surface_map(features),
+            carry_lang=True, from_html=True
         )
 
     def mk_triples() -> DataFrame:
@@ -176,11 +193,11 @@ def run_pipeline(
         return mt
 
     stages._factories.update(
-        {"linked": mk_linked, "mentions": mk_mentions, "triples": mk_triples}
+        {"pages": mk_pages, "linked": mk_linked, "mentions": mk_mentions,
+         "triples": mk_triples}
     )
-    stages["pages"] = pages
     if cache:
-        stages._cached = [features, pages]
+        stages._cached = [features, raw_pages]
     return stages
 
 
