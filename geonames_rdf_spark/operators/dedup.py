@@ -27,6 +27,23 @@ def _h64(s: str) -> int:
     return struct.unpack("<Q", hashlib.md5(s.encode("utf-8")).digest()[:8])[0]
 
 
+def _ensure_parallel(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Parallelism floor for the Python-vectorized signature stages.
+
+    A dimension-small input (one parquet file == one split) would run the
+    whole ``mapInPandas`` hashing stage on a single core; repartitioning
+    to the session's default parallelism spreads it.  Scale-adaptive
+    no-op: any input already at >= the floor (the corpus-scale case —
+    real corpora arrive in thousands of splits) passes through untouched,
+    so no shuffle is ever added where it wouldn't pay for itself.
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def exact_dedup(docs: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """(text_hash, keep_id, n_dups): one row per distinct text; keep_id =
@@ -78,9 +95,9 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
                 out_ids.append(did)
             yield pd.DataFrame({"id": out_ids, "sig": sigs})
 
-    return docs.select(F.col(id_col), F.col(text_col)).mapInPandas(
-        sig, schema="id bigint, sig array<bigint>"
-    )
+    return _ensure_parallel(
+        docs.select(F.col(id_col), F.col(text_col))
+    ).mapInPandas(sig, schema="id bigint, sig array<bigint>")
 
 
 def _guard_oversized_buckets(keyed: DataFrame, key_cols: list[str],
@@ -168,18 +185,17 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16,
             )).cast("array<bigint>")
         ),
     )
+    # band-hash array as ONE parsed SQL expression: identical semantics
+    # to the Column-API rendering (xxhash64 over the comma-joined band
+    # positions) at a fraction of the plan-construction cost — the
+    # per-element Column calls were ~160 py4j round trips per plan
+    band_sql = "array({})".format(", ".join(
+        "xxhash64(concat_ws(',', {}))".format(", ".join(
+            f"cast(sig[{b * rows_per_band + r}] as string)"
+            for r in range(rows_per_band)))
+        for b in range(bands)))
     banded = sigs.select(
-        "id",
-        F.posexplode(
-            F.array(*[
-                F.xxhash64(F.concat_ws(
-                    ",", *[F.col("sig")[b * rows_per_band + r].cast("string")
-                           for r in range(rows_per_band)]
-                ))
-                for b in range(bands)
-            ])
-        ).alias("band", "bucket"),
-    )
+        "id", F.posexplode(F.expr(band_sql)).alias("band", "bucket"))
     join_keys = ["band", "bucket"]
     if max_bucket is not None:
         banded, extra = _guard_oversized_buckets(
@@ -262,13 +278,13 @@ def minhash_near_dups(docs: DataFrame, threshold: float = 0.6,
        ``DEFAULT_MAX_BUCKET`` (see there), bounding residual hot buckets
        of NEAR-but-distinct signatures.  ``None`` opts out.
 
-    The signature table feeds multiple consumers — ``localCheckpoint``
-    materializes the mapInPandas shingling stage once and, unlike
-    ``persist()``, its blocks are released by the ContextCleaner when the
-    DataFrame becomes unreachable.
+    The member table ``m`` (inside ``collapse_identical_signatures``)
+    feeds every consumer and is localCheckpointed there — its one
+    materialization runs the mapInPandas shingling stage exactly once,
+    so a second checkpoint layer on the raw signatures would only add a
+    physical-planning pass and an extra block copy (removed r09).
     """
-    sigs = minhash_signatures(docs, text_col, id_col, k,
-                              n_hashes).localCheckpoint(eager=False)
+    sigs = minhash_signatures(docs, text_col, id_col, k, n_hashes)
     m, vsigs = collapse_identical_signatures(sigs)
     vpairs = lsh_candidate_pairs(vsigs, bands, n_hashes=n_hashes,
                                  max_bucket=max_bucket, oversize=oversize,
@@ -346,9 +362,9 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text",
                 out.append(v)
             yield pd.DataFrame({"id": ids, "simhash": out})
 
-    return docs.select(F.col(id_col), F.col(text_col)).mapInPandas(
-        sig, schema="id bigint, simhash bigint"
-    )
+    return _ensure_parallel(
+        docs.select(F.col(id_col), F.col(text_col))
+    ).mapInPandas(sig, schema="id bigint, simhash bigint")
 
 
 def _simhash_chunk_exprs(col, n_blocks: int) -> list:

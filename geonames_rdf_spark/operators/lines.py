@@ -79,11 +79,17 @@ def _finish(lines: DataFrame, min_chars: int, out_sep: str) -> DataFrame:
 
     winners = (dedupable.groupBy("_k")
                .agg(F.min(F.struct("doc_id", "pos")).alias("_w"))
-               .select("_k", F.col("_w.doc_id").alias("doc_id"),
-                       F.col("_w.pos").alias("pos")))
-    kept = dedupable.join(winners, ["_k", "doc_id", "pos"]) \
-        .select("doc_id", "pos", "line") \
-        .unionByName(exempt)
+               .select("_k", F.col("_w.doc_id").alias("_w_doc"),
+                       F.col("_w.pos").alias("_w_pos")))
+    # join on the md5 key ALONE (winner is unique per key, the position
+    # match is a post-join filter): the winner side then reuses its
+    # groupBy partitioning instead of being re-exchanged by the composite
+    # (key, doc_id, pos) — one exchange fewer, same kept set
+    kept = (dedupable.join(winners, "_k")
+            .filter((F.col("doc_id") == F.col("_w_doc"))
+                    & (F.col("pos") == F.col("_w_pos")))
+            .select("doc_id", "pos", "line")
+            .unionByName(exempt))
 
     rebuilt = (kept.groupBy("doc_id")
                .agg(F.array_join(

@@ -7,7 +7,7 @@ small lookup sides broadcast.  Each function cites the awk it replaces.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -95,14 +95,16 @@ def best_names(alt_names: DataFrame) -> DataFrame:
     The awk keeps the FIRST English name in file order (the preferred branch
     also only sets when unset, so preference never overrides an earlier
     plain 'en' row).  Canonical file order = alternateNameId ascending.
-    Spark-native: window row_number instead of a driver-side pass.
+    Spark-native: ``min_by`` hash aggregation — the argmin does a map-side
+    partial combine (one candidate per key per map task crosses the
+    exchange) where the former window row_number shuffled and sorted every
+    'en' row; identical output (first row by alternateNameId ascending).
     """
-    w = Window.partitionBy("geonameid").orderBy(F.col("alternateNameId"))
     return (
         alt_names.filter(F.col("isolanguage") == "en")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("geonameid", F.col("alternateName").alias("bestNameCandidate"))
+        .groupBy("geonameid")
+        .agg(F.min_by("alternateName", F.col("alternateNameId"))
+             .alias("bestNameCandidate"))
     )
 
 
