@@ -184,6 +184,21 @@ def register_base(spark: SparkSession, sf_dir: str, tables=BASE_TABLES) -> None:
         spark.read.parquet(f"{sf_dir}/{name}.parquet").createOrReplaceTempView(name)
 
 
+def _parallel_scan(spark: SparkSession, path: str):
+    """Parquet scan with a scale-adaptive parallelism floor: a
+    dimension-small table (one file == one split, and one parquet row
+    group cannot be subdivided by maxPartitionBytes) would otherwise run
+    the whole downstream narrow chain — the CASE derivations, broadcast
+    joins and the melt — as ONE task.  No-op for inputs already at >=
+    default parallelism (the at-scale case), so no coalescing or extra
+    exchange is introduced where the scan parallelizes naturally."""
+    df = spark.read.parquet(path)
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    return df
+
+
 def register_gazetteer(spark: SparkSession, sf_dir: str,
                        replicate: int = 1) -> dict[str, DataFrame]:
     """Build the derived gazetteer views; returns name -> DataFrame.
@@ -194,24 +209,36 @@ def register_gazetteer(spark: SparkSession, sf_dir: str,
     stay unique — the world gains places, not conflicting dimensions.
     Not used by the oracle path (the driver compares at replicate=1).
     """
-    register_base(spark, sf_dir, tables=("customer", "orders"))
+    # parallelism floor on the two derivation inputs (see _parallel_scan)
+    _parallel_scan(spark, f"{sf_dir}/customer.parquet") \
+        .createOrReplaceTempView("customer")
+    _parallel_scan(spark, f"{sf_dir}/orders.parquet") \
+        .createOrReplaceTempView("orders")
     if replicate > 1:
         from pyspark.sql import functions as F
 
         # the small parquet inputs are single-split; without an explicit
         # repartition the whole downstream narrow chain (broadcast joins +
-        # melt) would run as ONE task regardless of cores
+        # melt) would run as ONE task regardless of cores.  Repartition
+        # the BASE table, before the replicate crossJoin: the shuffle
+        # then moves 1/replicate of the rows and the replication itself
+        # (and everything narrow downstream) runs parallel instead of in
+        # the single pre-shuffle task (r09; the old shape crossJoined in
+        # one task and round-robin-shuffled the full replicated set,
+        # paying sortBeforeRepartition over replicate x the rows)
         par = spark.sparkContext.defaultParallelism
         copies = spark.range(replicate).withColumnRenamed("id", "copy")
-        cust = spark.read.parquet(f"{sf_dir}/customer.parquet").crossJoin(copies)
+        cust = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+                .repartition(par).crossJoin(copies))
         cust.select(
             (F.col("c_custkey") + F.col("copy") * 1_000_000).alias("c_custkey")
-        ).repartition(par).createOrReplaceTempView("customer")
-        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").crossJoin(copies)
+        ).createOrReplaceTempView("customer")
+        orders = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+                  .repartition(par).crossJoin(copies))
         orders.select(
             (F.col("o_orderkey") + F.col("copy") * 10_000_000).alias("o_orderkey"),
             (F.col("o_custkey") + F.col("copy") * 1_000_000).alias("o_custkey"),
-        ).repartition(par).createOrReplaceTempView("orders")
+        ).createOrReplaceTempView("orders")
     out: dict[str, DataFrame] = {}
     for name in ("features", "features_plus", "alt_names", "hierarchy_raw", "ags_map"):
         df = spark.sql(TABLE_SQL[name])
