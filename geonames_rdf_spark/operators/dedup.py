@@ -215,10 +215,11 @@ def minhash_similarity(sigs: DataFrame, pairs: DataFrame) -> DataFrame:
     """Estimated Jaccard = fraction of agreeing signature positions."""
     sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
-    agree = F.size(
-        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
-                 lambda v: v)
-    )
+    # one parsed expression (identical semantics to the former
+    # Column-API zip_with/filter lambdas, at a fraction of the py4j
+    # plan-construction cost)
+    agree = F.expr(
+        "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))")
     return (
         pairs.join(sa, "id_a").join(sb, "id_b")
         .select(

@@ -212,52 +212,57 @@ def q_hierarchy_report(triples: DataFrame, seed_uri: str) -> DataFrame:
     # handful of rows
     scoped = triples.join(F.broadcast(anc.select("subj")), "subj", "left_semi")
 
-    e = entity_table(
-        scoped,
-        {
-            "featureCode": vocab.GN_FEATURE_CODE,
-            "latitude": vocab.WGS84_LAT,
-            "longitude": vocab.WGS84_LONG,
-            "municipalityKey": vocab.WDT_P439,
-        },
+    # ONE grouped pass over the scoped slice computes the star columns
+    # AND all four longest-name slots (r09: the former separate
+    # entity_table + pivot aggregations scanned and exchanged the slice
+    # twice and joined the results).  Per slot: min_by over
+    # (-length, value) with a NULL ordering outside the slot — min_by
+    # ignores NULL-ordered rows, so each slot aggregates exactly the
+    # rows the pivot branch did, longest-name-ties-to-smallest
+    # semantics (the oracle's ROW_NUMBER pick) unchanged.
+    kind = (
+        F.when(F.col("pred") == vocab.GN_OFFICIAL_NAME, F.lit("official"))
+        .when(F.col("pred") == vocab.GN_ALTERNATE_NAME, F.lit("alternate"))
+    )
+    lang2 = F.substring(F.col("obj_lang"), 1, 2)
+    name_row = (
+        F.col("pred").isin(vocab.GN_OFFICIAL_NAME, vocab.GN_ALTERNATE_NAME)
+        & F.col("obj_lang").isNotNull()
+        & lang2.isin("en", "de")
+    )
+    slot = F.concat(kind, F.lit("_"), lang2)
+
+    def slot_agg(s: str):
+        return F.min_by(
+            "obj",
+            F.when(name_row & (slot == s),
+                   F.struct((-F.length("obj")).alias("neg_len"),
+                            F.col("obj"))),
+        ).alias(s)
+
+    star = {
+        "featureCode": vocab.GN_FEATURE_CODE,
+        "latitude": vocab.WGS84_LAT,
+        "longitude": vocab.WGS84_LONG,
+        "municipalityKey": vocab.WDT_P439,
+    }
+    e = (
+        scoped.filter(
+            F.col("pred").isin(*star.values(), vocab.GN_OFFICIAL_NAME,
+                               vocab.GN_ALTERNATE_NAME))
+        .groupBy("subj")
+        .agg(*[F.max(F.when(F.col("pred") == p, F.col("obj"))).alias(c)
+               for c, p in star.items()],
+             *[slot_agg(s) for s in ("official_en", "alternate_en",
+                                     "official_de", "alternate_de")])
     )
     base = anc.join(e, "subj", "left").filter(
         F.col("featureCode").isNotNull()
         & F.col("latitude").isNotNull()
         & F.col("longitude").isNotNull()
     )
-
-    # all four longest-name variants in ONE aggregation pass: per
-    # (subject, name-kind) keep the longest value, ties to the smallest
-    # string — max_by over (length, negated-name) has exactly the
-    # NOT-EXISTS + deterministic-pick semantics and is map-side combinable
-    kind = (
-        F.when(F.col("pred") == vocab.GN_OFFICIAL_NAME, F.lit("official"))
-        .when(F.col("pred") == vocab.GN_ALTERNATE_NAME, F.lit("alternate"))
-    )
-    lang2 = F.substring(F.col("obj_lang"), 1, 2)
-    names = (
-        scoped.filter(
-            F.col("pred").isin(vocab.GN_OFFICIAL_NAME, vocab.GN_ALTERNATE_NAME)
-            & F.col("obj_lang").isNotNull()
-            & lang2.isin("en", "de")
-        )
-        .select("subj", F.concat(kind, F.lit("_"), lang2).alias("slot"), "obj")
-        .groupBy("subj")
-        .pivot("slot", ["official_en", "alternate_en", "official_de", "alternate_de"])
-        .agg(
-            # minimize (-length, value): longest name, ties to the
-            # lexicographically smallest — the NOT-EXISTS semantics plus
-            # the deterministic pick the oracle's ROW_NUMBER makes
-            F.min_by(
-                "obj",
-                F.struct((-F.length("obj")).alias("neg_len"), F.col("obj")),
-            )
-        )
-    )
     out = (
-        base.join(names, "subj", "left")
-        .withColumn("name", F.coalesce("official_en", "alternate_en"))
+        base.withColumn("name", F.coalesce("official_en", "alternate_en"))
         .withColumn("name_de", F.coalesce("official_de", "alternate_de"))
     )
     return out.select(
