@@ -69,10 +69,18 @@ DEFAULT_MIN_CHARS = 15
 _SENT = "\x01"
 
 
-def _finish(lines: DataFrame, min_chars: int, out_sep: str) -> DataFrame:
+def _finish(lines: DataFrame, min_chars: int, out_sep: str,
+            totals: DataFrame) -> DataFrame:
     """Shared core: global first-occurrence winner election over
     ``(doc_id, pos, line)`` unit rows, short units exempt, documents
-    rebuilt joining surviving units with ``out_sep``."""
+    rebuilt joining surviving units with ``out_sep``.
+
+    ``totals``: (doc_id, _n_total) — the per-document unit count,
+    computed by the caller NARROWLY from the un-exploded document
+    (``size`` over the split/start arrays).  It used to be a second
+    full scan + explode of the corpus feeding a count aggregation —
+    one whole corpus pass saved (r09); the unit count per document is
+    a function of the document alone."""
     dedupable = lines.filter(F.length("line") >= min_chars) \
         .withColumn("_k", F.md5("line"))
     exempt = lines.filter(F.length("line") < min_chars)
@@ -99,8 +107,10 @@ def _finish(lines: DataFrame, min_chars: int, out_sep: str) -> DataFrame:
                             lambda s: s.line),
                         out_sep).alias("text"),
                     F.count(F.lit(1)).alias("n_lines_kept")))
-    totals = lines.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("_n_total"))
+    # sum per doc_id: one narrow row per input row arrives here, so a
+    # duplicate-id input still totals like the old per-line count did
+    totals = totals.groupBy("doc_id").agg(
+        F.sum("_n_total").alias("_n_total"))
     return (totals.join(rebuilt, "doc_id", "left")
             .select("doc_id",
                     F.coalesce(F.col("text"), F.lit("")).alias("text"),
@@ -123,12 +133,13 @@ def dedup_lines(docs: DataFrame, text_col: str = "text",
     """
     # sep is a LITERAL separator on both engines (Spark's split takes a
     # regex, so escape it; DuckDB's string_split is literal already)
+    parts = F.split(F.coalesce(F.col(text_col), F.lit("")), re.escape(sep))
     lines = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")),
-                             re.escape(sep)))
-        .alias("pos", "line"))
-    return _finish(lines, min_chars, sep)
+        F.posexplode(parts).alias("pos", "line"))
+    totals = docs.select(F.col(id_col).alias("doc_id"),
+                         F.size(parts).alias("_n_total"))
+    return _finish(lines, min_chars, sep, totals)
 
 
 def dedup_spans(docs: DataFrame, text_col: str = "text",
@@ -160,7 +171,9 @@ def dedup_spans(docs: DataFrame, text_col: str = "text",
                 F.array_join(
                     F.slice(F.col("_s"), F.col("_start") + 1,
                             F.lit(n_sentences)), " ").alias("line"))
-    return _finish(spans, min_chars, " ")
+    totals = docs.select(F.col(id_col).alias("doc_id"),
+                         F.size(starts).alias("_n_total"))
+    return _finish(spans, min_chars, " ", totals)
 
 
 def _core_sql(lines_cte: str, min_chars: int, out_sep_sql: str) -> str:

@@ -319,7 +319,11 @@ def lm_perplexity(docs: DataFrame, lm: dict,
             yield pd.DataFrame({"doc_id": ids, "n_grams": cnt,
                                 "avg_nll": nll, "ppl": ppl})
 
-    return docs.select("doc_id", F.col(text_col).alias("text")).mapInPandas(
+    from geonames_rdf_spark.operators.dedup import _ensure_parallel
+
+    return _ensure_parallel(
+        docs.select("doc_id", F.col(text_col).alias("text"))
+    ).mapInPandas(
         score, schema="doc_id bigint, n_grams int, avg_nll double, ppl double")
 
 

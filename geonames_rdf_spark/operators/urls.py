@@ -39,7 +39,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import Window
 
 _TRACK = r"(utm_[a-z]+|fbclid|gclid)"
 
@@ -135,11 +134,25 @@ def dedup_pages_by_url(pages: DataFrame, url_col: str = "url",
     the lexicographically smallest raw url, so the survivor is
     deterministic under any partitioning).  Adds ``url_canonical``;
     keeps every input column.  One shuffle keyed by the canonical url.
+
+    r09: ``min_by`` winner election instead of a window row_number —
+    the argmin partial-combines map-side, so the exchange carries ~one
+    surviving row per canonical url per map task instead of EVERY
+    capture (on a re-crawl-heavy corpus the dup factor is the whole
+    point of this pass), and nothing sorts the html payload.  The
+    ordering struct (ts-is-null, ts, raw url) reproduces the former
+    ``asc_nulls_last(ts), asc(url)`` orderBy exactly.
     """
     norm = normalize_url_expr(F.col(url_col)).alias("url_canonical")
-    w = (Window.partitionBy("url_canonical")
-         .orderBy(F.col(ts_col).asc_nulls_last(), F.col(url_col).asc()))
-    return (pages.select("*", norm)
-            .withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn"))
+    with_norm = pages.select("*", norm)
+    payload = [c for c in with_norm.columns if c != "url_canonical"]
+    order_key = F.struct(
+        F.col(ts_col).isNull().cast("int").alias("_null_last"),
+        F.col(ts_col).alias("_ts"),
+        F.col(url_col).alias("_url"),
+    )
+    won = (with_norm.groupBy("url_canonical")
+           .agg(F.min_by(F.struct(*[F.col(c) for c in payload]),
+                         order_key).alias("_w")))
+    return won.select(
+        *[F.col(f"_w.{c}").alias(c) for c in payload], "url_canonical")

@@ -151,6 +151,36 @@ def test_lsh_banding_expr_matches_column_rendering(spark):
             == {tuple(r) for r in exp.collect()})
 
 
+def test_dedup_pages_by_url_minby_ordering(spark):
+    """The min_by winner election preserves the former window orderBy
+    semantics exactly: earliest warc_ts wins, NULL ts loses to any
+    non-null ts (asc_nulls_last), ties broken by smallest raw url."""
+    import datetime as dt
+
+    from geonames_rdf_spark.operators import urls
+    t0 = dt.datetime(2020, 1, 1)
+    t1 = dt.datetime(2020, 1, 2)
+    rows = [
+        ("https://a.example/x", None, b"null-ts"),
+        ("https://a.example/x/", t1, b"later"),      # same canonical
+        ("https://C.example/z", t1, b"later2"),
+        ("https://c.example/z", t0, b"earliest"),    # same canonical
+        ("https://b.example/y?b=1&a=2", t1, b"q1"),
+        ("https://b.example/y?a=2&b=1", t1, b"q0"),  # tie: smaller url wins
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp,"
+                                     " html binary")
+    out = {r["url_canonical"]: (r["url"], bytes(r["html"]))
+           for r in urls.dedup_pages_by_url(df).collect()}
+    # NULL ts loses to a later non-null ts (asc_nulls_last)
+    assert out["https://a.example/x"] == ("https://a.example/x/", b"later")
+    # earliest ts wins regardless of raw-url order
+    assert out["https://c.example/z"] == ("https://c.example/z", b"earliest")
+    # equal ts: lexicographically smallest raw url wins
+    assert out["https://b.example/y?a=2&b=1"] == (
+        "https://b.example/y?a=2&b=1", b"q0")
+
+
 def test_run_pipeline_pages_stage_schema_and_extraction(spark):
     """stages['pages'] still exposes the extracted-text corpus with the
     pre-r09 schema, and the fused-scan linked stage matches a scan over
