@@ -122,9 +122,17 @@ def _guard_oversized_buckets(keyed: DataFrame, key_cols: list[str],
     ``observation`` (pyspark Observation) rides the next action with
     (oversized_rows, total_rows) so lineage can record what was degraded.
     Returns (guarded_df, extra_join_key_cols).
+
+    r09 shape: the per-bucket count is a WINDOW over the bucket key —
+    one exchange of the keyed rows, after which the candidate self-join
+    runs co-partitioned (hash partitioning on the bucket key satisfies
+    the join's clustering even with the salt appended); the former
+    groupBy + join-back paid a second join pass for the same ``_bn``.
     """
-    counts = keyed.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_bn"))
-    out = keyed.join(counts, key_cols)
+    from pyspark.sql import Window
+
+    out = keyed.withColumn(
+        "_bn", F.count(F.lit(1)).over(Window.partitionBy(*key_cols)))
     if observation is not None:
         out = out.observe(
             observation,
